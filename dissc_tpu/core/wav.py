@@ -1,0 +1,78 @@
+"""WAV I/O and amplitude utilities.
+
+The reference reads/writes audio with ``soundfile`` (``sr/dataset.py:72-74``)
+and normalises with ``librosa.util.normalize`` (``sr/dataset.py:233``).
+Neither dependency is available here, so this module implements the
+needed subset natively: 16-bit PCM WAV read/write via the stdlib
+``wave`` module and peak normalisation.
+"""
+from __future__ import annotations
+
+import wave
+from typing import Tuple
+
+import numpy as np
+
+MAX_WAV_VALUE = 32768.0  # reference sr/dataset.py:24
+
+
+def read_wav(path: str, dtype: str = "int16") -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (samples, sample_rate).
+
+    Supports 16-bit and 32-bit PCM and 32-bit float WAVs.  ``dtype``
+    selects the returned representation: ``"int16"`` (as the reference's
+    ``sf.read(dtype='int16')``) or ``"float32"`` (samples in [-1, 1], as
+    plain ``sf.read``).
+    """
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+        scale = MAX_WAV_VALUE
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4")
+        scale = 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width} in {path}")
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    if dtype == "int16":
+        if width != 2:
+            data = np.clip(np.round(data / scale * MAX_WAV_VALUE), -32768, 32767)
+        return data.astype(np.int16), sr
+    return (data.astype(np.float64) / scale).astype(np.float32), sr
+
+
+def write_wav(path: str, data: np.ndarray, sr: int) -> None:
+    """Write mono 16-bit PCM WAV.  Float input is assumed to be in [-1, 1]."""
+    data = np.asarray(data).squeeze()
+    if data.dtype.kind == "f":
+        data = np.clip(data, -1.0, 1.0)
+        data = np.round(data * (MAX_WAV_VALUE - 1)).astype(np.int16)
+    else:
+        data = data.astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+def peak_normalize(x: np.ndarray) -> np.ndarray:
+    """Scale so that ``max |x| == 1`` (librosa.util.normalize default)."""
+    peak = np.max(np.abs(x))
+    if peak == 0:
+        return x.astype(np.float64)
+    return x.astype(np.float64) / peak
+
+
+def normalize_audio_int16(audio_i16: np.ndarray) -> np.ndarray:
+    """int16 samples -> the reference's training amplitude convention.
+
+    ``audio / 32768 -> peak-normalize -> * 0.95`` (``sr/dataset.py:232-233``).
+    """
+    return peak_normalize(audio_i16 / MAX_WAV_VALUE) * 0.95
