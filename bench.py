@@ -1,0 +1,94 @@
+"""Benchmark: end-to-end conversion RTF per chip.
+
+Measures the full DISSC conversion compute path on device — dedup ->
+rhythm predict -> carryover -> re-time -> pitch predict -> HiFi-GAN
+vocode (full 512-channel VCTK config) — on a batch of ~10 s utterances,
+and reports real-time-factor per chip (seconds of compute per second of
+generated audio).  Baseline target: RTF < 0.05 on one TPU v5e chip
+(BASELINE.md north star); vs_baseline = 0.05 / measured (>1 is better).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dissc_tpu.core.config import VocoderConfig
+    from dissc_tpu.infer.prosody import _convert_batch
+    from dissc_tpu.models.hifigan import CodeGenerator
+    from dissc_tpu.models.prosody import LenPredictor
+    from dissc_tpu.train.prosody_trainer import build_pitch_model
+
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+
+    n_speakers = 107
+    B, T = 8, 512  # 8 utterances x 10.24 s (512 frames @ 50 Hz)
+    OUT_T = 1024
+
+    # prosody models
+    len_model = LenPredictor(n_tokens=100, n_speakers=n_speakers)
+    seq0 = jnp.zeros((1, T), jnp.int32)
+    spk0 = jnp.zeros((1, 1), jnp.int32)
+    len_vars = len_model.init(key, seq0, spk0, (jnp.float32(4.0), jnp.float32(2.0)))
+    pitch_model = build_pitch_model("new", 100, n_speakers)
+    pitch_vars = pitch_model.init(key, jnp.zeros((1, OUT_T), jnp.int32), spk0)
+    id2mean = jnp.asarray(rng.uniform(100, 250, n_speakers).astype(np.float32))
+    id2std = jnp.asarray(rng.uniform(10, 40, n_speakers).astype(np.float32))
+
+    # vocoder (full-size VCTK config)
+    h = VocoderConfig()
+    voc = CodeGenerator(h)
+    code0 = jnp.zeros((B, OUT_T), jnp.int32)
+    f00 = jnp.zeros((B, OUT_T, 1), jnp.float32)
+    spk_b = jnp.zeros((B, 1), jnp.int32)
+    voc_params = voc.init(key, code0, f00, spk_b)["params"]
+    voc_apply = jax.jit(lambda p, c, f, s: voc.apply({"params": p}, c, f, s))
+
+    # realistic unit sequences (runs of 1-6 frames)
+    seqs = np.zeros((B, T), np.int32)
+    for b in range(B):
+        t = 0
+        while t < T:
+            run = int(rng.integers(1, 6))
+            seqs[b, t : t + run] = int(rng.integers(0, 100))
+            t += run
+    lengths = np.full((B,), T, np.int32)
+    spk = rng.integers(0, n_speakers, (B, 1)).astype(np.int32)
+
+    def convert(seqs, lengths, spk):
+        out_seqs, out_lens, f0 = _convert_batch(
+            len_model, len_vars, (jnp.float32(4.0), jnp.float32(2.0)),
+            pitch_model, pitch_vars, id2mean, id2std,
+            seqs, lengths, spk,
+            in_cap=T, out_cap=OUT_T, norm_pitch=False, n_tokens=100,
+        )
+        wav = voc_apply(voc_params, out_seqs, f0[..., None], spk)
+        return wav, out_lens
+
+    args = (jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(spk))
+    wav, out_lens = convert(*args)  # compile
+    jax.block_until_ready(wav)
+
+    n_iters = 10
+    start = time.time()
+    for _ in range(n_iters):
+        wav, out_lens = convert(*args)
+    jax.block_until_ready(wav)
+    elapsed = (time.time() - start) / n_iters
+
+    audio_seconds = float(np.asarray(out_lens).sum()) * 320 / 16000
+    rtf = elapsed / audio_seconds
+    print(json.dumps({
+        "metric": "e2e_conversion_rtf_per_chip",
+        "value": round(rtf, 6),
+        "unit": "s_compute_per_s_audio",
+        "vs_baseline": round(0.05 / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Conversion-metrics CLI (reference ``eval.py:148-161`` surface)."""
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base_path", default="../results/vctk/")
+    parser.add_argument("--method", default="sr")
+    parser.add_argument("--device", default="cpu")
+    parser.add_argument("--target_speakers", nargs="+",
+                        default=["p231", "p239", "p245", "p270"])
+    parser.add_argument("--whisper_model", default=None,
+                        help="Local Whisper checkpoint dir; omit to skip WER/CER")
+    args = parser.parse_args(argv)
+
+    from dissc_tpu.eval.metrics import calc_errors, log_results
+
+    transcribe = None
+    if args.whisper_model:
+        from dissc_tpu.eval.asr import load_whisper
+
+        transcribe = load_whisper(args.whisper_model, args.device)
+
+    errs = calc_errors(args.base_path, args.method, args.target_speakers, transcribe)
+    log_results(errs, args.base_path, args.method)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Rhythm-predictor training CLI (reference ``train_len_predictor.py:117-133``)."""
+import argparse
+import os
+
+from dissc_tpu.core.config import ProsodyConfig
+from dissc_tpu.core.seed import seed_everything
+from dissc_tpu.train.prosody_trainer import train_len_predictor
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out_path", default="checkpoints/esd")
+    parser.add_argument("--data_path", default="data/ESD/hubert100")
+    parser.add_argument("--n_tokens", default=100, type=int)
+    parser.add_argument("--device", default="tpu", help="kept for CLI compat; unused")
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--learning_rate", default=3e-4, type=float)
+    parser.add_argument("--n_epochs", default=30, type=int)
+    args = parser.parse_args(argv)
+
+    seed_everything(args.seed)
+    os.makedirs(args.out_path, exist_ok=True)
+    cfg = ProsodyConfig(
+        n_tokens=args.n_tokens, batch_size=args.batch_size,
+        learning_rate=args.learning_rate, n_epochs=args.n_epochs, seed=args.seed,
+    )
+    train_len_predictor(args.data_path, args.out_path, cfg)
+
+
+if __name__ == "__main__":
+    main()

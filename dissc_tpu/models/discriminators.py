@@ -1,0 +1,141 @@
+"""GAN discriminators: multi-period (MPD) and multi-scale (MSD).
+
+Reference ``sr/models.py:228-333``.  TPU notes:
+  * MPD's 1D->2D period fold is a reflect-pad + reshape (static shapes
+    per period); the (5,1)-kernel Conv2d stacks are MXU-friendly NHWC.
+  * MSD uses grouped 1D convs (``feature_group_count``) and spectral
+    norm (power iteration in a mutable 'spectral' collection) on its
+    first scale.
+  * Both return (score, per-layer feature maps) for the feature-match
+    loss, like the reference.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dissc_tpu.models.layers import Conv1d, Conv2d, leaky_relu, same_padding
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: fold waveform to [T/p, p] and run 2D convs.
+
+    Reference ``sr/models.py:228-260``.
+    """
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T] waveform
+        norm = "spectral" if self.use_spectral_norm else "weight"
+        b, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
+
+        fmap = []
+        pad = same_padding(5, 1)
+        for i, ch in enumerate([32, 128, 512, 1024]):
+            x = Conv2d(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                       padding=(pad, 0), norm=norm, name=f"convs_{i}")(x, train)
+            x = leaky_relu(x)
+            fmap.append(x)
+        x = Conv2d(1024, (self.kernel_size, 1), strides=(1, 1), padding=(2, 0),
+                   norm=norm, name="convs_4")(x, train)
+        x = leaky_relu(x)
+        fmap.append(x)
+        x = Conv2d(1, (3, 1), strides=(1, 1), padding=(1, 0), norm=norm,
+                   name="conv_post")(x, train)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """5 period discriminators at primes 2,3,5,7,11 (reference ``sr/models.py:263-282``)."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat, train: bool = False):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(p, name=f"disc_{i}")
+            s_r, f_r = d(y, train)
+            s_g, f_g = d(y_hat, train)
+            y_d_rs.append(s_r)
+            y_d_gs.append(s_g)
+            fmap_rs.append(f_r)
+            fmap_gs.append(f_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator: grouped wide 1D convs (reference ``sr/models.py:285-307``)."""
+
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T] waveform
+        norm = "spectral" if self.use_spectral_norm else "weight"
+        x = x[..., None]  # NWC
+        fmap = []
+        specs = [
+            # (features, kernel, stride, groups, padding)
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            x = Conv1d(ch, k, stride=s, groups=g, padding=p, norm=norm,
+                       name=f"convs_{i}")(x, train)
+            x = leaky_relu(x)
+            fmap.append(x)
+        x = Conv1d(1, 3, padding=1, norm=norm, name="conv_post")(x, train)
+        fmap.append(x)
+        return x.reshape(x.shape[0], -1), fmap
+
+
+def _avg_pool1d(x, kernel: int = 4, stride: int = 2, padding: int = 2):
+    """torch AvgPool1d(4, 2, padding=2) semantics (count includes zero pads)."""
+    y = jnp.pad(x, ((0, 0), (padding, padding)))
+    y = jax.lax.reduce_window(
+        y, 0.0, jax.lax.add, (1, kernel), (1, stride), "VALID"
+    )
+    return y / kernel
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 scale discriminators on 1x, 2x- and 4x-avg-pooled audio.
+
+    First scale uses spectral norm (reference ``sr/models.py:310-333``).
+    """
+
+    @nn.compact
+    def __call__(self, y, y_hat, train: bool = False):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = _avg_pool1d(y)
+                y_hat = _avg_pool1d(y_hat)
+            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"disc_{i}")
+            s_r, f_r = d(y, train)
+            s_g, f_g = d(y_hat, train)
+            y_d_rs.append(s_r)
+            y_d_gs.append(s_g)
+            fmap_rs.append(f_r)
+            fmap_gs.append(f_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
