@@ -63,6 +63,7 @@ def main(argv=None):
         norm_pitch=args.norm_pitch,
         n_tokens=args.n_tokens,
         wild=args.wild_sample,
+        sample_df=args.sample_df,
     )
 
 

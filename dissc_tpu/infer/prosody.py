@@ -237,10 +237,13 @@ def infer_file(
     norm_pitch: bool = False,
     n_tokens: int = 100,
     wild: bool = False,
+    sample_df: Optional[str] = None,
 ) -> None:
     """File-level driver matching the reference CLI behaviour
     (``infer.py:47-155``): writes a reconstruction JSONL and/or
-    per-target-speaker ``<t>_<input>.txt`` files."""
+    per-target-speaker ``<t>_<input>.txt`` files.  ``sample_df`` is the
+    speaker-verification pair CSV restricting (sample -> target)
+    conversions and disabling reconstruction (``infer.py:112-122``)."""
     id_to_spkr_path = id_to_spkr_path or os.path.join(os.path.dirname(input_path),
                                                       "id_to_spkr.pkl")
     spk_id_dict = load_id_to_spkr(id_to_spkr_path)
@@ -264,20 +267,36 @@ def infer_file(
     os.makedirs(out_path, exist_ok=True)
     base = os.path.basename(input_path)
 
+    df = None
+    if sample_df:
+        import pandas as pd
+
+        df = pd.read_csv(sample_df, index_col=0)
+
+    def targets_of(rec):
+        stem = os.path.splitext(rec["audio"])[0].split("_mic2")[0]
+        return set(df[df.syn_sample == stem].syn_trgt.unique())
+
     def fresh(path):
         if os.path.exists(path):
             os.remove(path)
 
-    if not wild:
+    if not wild and df is None:
         recon_path = os.path.join(out_path, base)
         fresh(recon_path)
         for rec in conv.convert_records(records, spk_id_dict, None, norm_pitch):
             append_unit_record(recon_path, rec)
 
     if vc or wild:
-        targets = target_speakers or list(spk_id_dict.keys())[:1]
+        if df is not None:
+            targets = sorted({t for rec in records for t in targets_of(rec)})
+        else:
+            targets = target_speakers or list(spk_id_dict.keys())[:1]
         for t in targets:
+            recs_t = records if df is None else [r for r in records if t in targets_of(r)]
+            if not recs_t:
+                continue
             t_path = os.path.join(out_path, f"{t}_{base}")
             fresh(t_path)
-            for rec in conv.convert_records(records, spk_id_dict, t, norm_pitch):
+            for rec in conv.convert_records(recs_t, spk_id_dict, t, norm_pitch):
                 append_unit_record(t_path, rec)

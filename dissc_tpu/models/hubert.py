@@ -73,13 +73,15 @@ class PositionalConvEmbedding(nn.Module):
     def __call__(self, x):
         c = self.cfg
         k = c.conv_pos_kernel
-        # weight-norm parameterisation matching fairseq/HF (dim=2 over (in,k))
+        # weight-norm parameterisation matching fairseq/HF: dim=2 on the
+        # [out, in/groups, k] torch weight, i.e. one gain per *kernel
+        # position* with the norm over (out, in/groups).
         v = self.param(
             "v", nn.initializers.normal(0.02), (k, c.hidden_size // c.conv_pos_groups,
                                                 c.hidden_size)
         )
-        g = self.param("g", nn.initializers.ones, (1, 1, c.hidden_size))
-        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 1e-12)
+        g = self.param("g", nn.initializers.ones, (k, 1, 1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True) + 1e-12)
         kernel = g * v / norm
         bias = self.param("bias", nn.initializers.zeros, (c.hidden_size,))
         pad = k // 2
@@ -239,9 +241,10 @@ def convert_hf_state_dict(sd: Dict[str, Any], cfg: HubertConfig = HubertConfig()
         g = t("encoder.pos_conv_embed.conv.parametrizations.weight.original0")
         v = t("encoder.pos_conv_embed.conv.parametrizations.weight.original1")
     # torch layout [out, in/groups, k], WN dim=2 -> our (k, in/groups, out)
+    # with one gain per kernel position
     params["pos_conv"] = {
         "v": v.transpose(2, 1, 0),
-        "g": g.reshape(1, 1, -1),
+        "g": g.reshape(-1, 1, 1),
         "bias": t("encoder.pos_conv_embed.conv.bias"),
     }
     params["encoder_layer_norm"] = {

@@ -113,13 +113,15 @@ class LinearRampPE(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         t = x.shape[1]
-        ramp = jnp.linspace(0.0, 1.0, self.max_len)[:t]
+        # positions beyond max_len hold the final ramp value — the
+        # reference hard-fails past 850 frames (fixed buffer,
+        # model/pitch_predictor.py:7); identical for t <= max_len.
+        pos = jnp.minimum(jnp.arange(t), self.max_len - 1) / (self.max_len - 1)
         half = self.d_model // 2
         pe = jnp.concatenate(
             [
-                jnp.broadcast_to(ramp[:, None], (t, half)),
-                jnp.broadcast_to((1.0 - jnp.linspace(0.0, 1.0, self.max_len))[:t, None],
-                                 (t, self.d_model - half)),
+                jnp.broadcast_to(pos[:, None], (t, half)),
+                jnp.broadcast_to((1.0 - pos)[:, None], (t, self.d_model - half)),
             ],
             axis=-1,
         )
