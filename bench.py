@@ -69,18 +69,26 @@ def main():
         wav = voc_apply(voc_params, out_seqs, f0[..., None], spk)
         return wav, out_lens
 
-    args = (jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(spk))
-    wav, out_lens = convert(*args)  # compile
-    jax.block_until_ready(wav)
-
+    # distinct inputs per iteration so no dispatch-level caching can
+    # short-circuit the measurement; block on every call.
     n_iters = 10
-    start = time.time()
-    for _ in range(n_iters):
-        wav, out_lens = convert(*args)
-    jax.block_until_ready(wav)
-    elapsed = (time.time() - start) / n_iters
+    iter_args = []
+    for it in range(n_iters + 1):
+        s = seqs.copy()
+        s[:, 0] = (s[:, 0] + it) % 100
+        iter_args.append((jnp.asarray(s), jnp.asarray(lengths), jnp.asarray(spk)))
 
-    audio_seconds = float(np.asarray(out_lens).sum()) * 320 / 16000
+    wav, out_lens = convert(*iter_args[0])  # compile
+    jax.block_until_ready(wav)
+
+    audio_seconds = 0.0
+    start = time.time()
+    for it in range(1, n_iters + 1):
+        wav, out_lens = convert(*iter_args[it])
+        jax.block_until_ready((wav, out_lens))
+        audio_seconds += float(np.asarray(out_lens).sum()) * 320 / 16000
+    elapsed = time.time() - start
+
     rtf = elapsed / audio_seconds
     print(json.dumps({
         "metric": "e2e_conversion_rtf_per_chip",

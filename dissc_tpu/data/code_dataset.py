@@ -213,16 +213,193 @@ class CodeDataset:
         feats["filename"] = str(filename)
         return feats
 
-    def batches(self, batch_size: int, shuffle: bool, seed: int = 0) -> Iterator[Dict]:
-        """Fixed-shape stacked batches (training mode only)."""
+    def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                use_native: bool = True) -> Iterator[Dict]:
+        """Fixed-shape stacked batches (training mode only).
+
+        ``use_native``: route the audio crops through the C++ threaded
+        loader (``native/wavloader.cc``) — crop *sampling* stays here so
+        the draw sequence is identical on both paths; only decode/
+        normalise/copy moves to native threads.
+        """
+        from dissc_tpu.data.native_loader import load_crops, native_available, wav_info
+
+        native = use_native and native_available() and self.pad is None
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [self[i] for i in order[start : start + batch_size]]
-            yield {
-                "code": np.stack([it["code"] for it in items]),
-                "f0": np.stack([it["f0"] for it in items]),
-                "spkr": np.stack([it["spkr"] for it in items]),
-                "audio": np.stack([it["audio"] for it in items]),
-            }
+            idxs = order[start : start + batch_size]
+            if not native:
+                items = [self[i] for i in idxs]
+                yield {
+                    "code": np.stack([it["code"] for it in items]),
+                    "f0": np.stack([it["f0"] for it in items]),
+                    "spkr": np.stack([it["spkr"] for it in items]),
+                    "audio": np.stack([it["audio"] for it in items]),
+                }
+                continue
+            yield self._native_batch(idxs, wav_info, load_crops)
+
+    def _native_batch(self, idxs, wav_info, load_crops) -> Dict[str, np.ndarray]:
+        seg = self.segment_size
+        seg_frames = seg // self.code_hop_size
+        paths, starts, eff_lens = [], [], []
+        codes, f0s, spkrs = [], [], []
+        fallback_audio = {}
+        for j, i in enumerate(idxs):
+            path = str(self.audio_files[i])
+            sr, n = wav_info(path)
+            if sr != self.sampling_rate:
+                # fall back to the python path for resampled files
+                it = self[i]
+                paths.append(None)
+                starts.append(0)
+                eff_lens.append(-1)
+                codes.append(it["code"])
+                f0s.append(it["f0"])
+                spkrs.append(it["spkr"])
+                fallback_audio[j] = it["audio"]
+                continue
+            code = self.codes[i]
+            pitch = self.pitch[i] if self.pitch else np.zeros(0, np.float32)
+            code_length = min(n // self.code_hop_size, code.shape[0])
+            code = code[:code_length]
+            pitch = pitch[:code_length]
+            eff = code_length * self.code_hop_size
+            # tile-repeat short clips (modulo on the native side)
+            tiled = eff
+            while tiled < seg:
+                code = np.hstack([code, code])
+                pitch = np.hstack([pitch, pitch])
+                tiled *= 2
+            # aligned random crop (same draw as _sample_interval: lcm = hop)
+            n_steps = tiled // self.code_hop_size - seg_frames
+            start_step = self._rng.randint(0, n_steps)
+            paths.append(path)
+            starts.append(start_step * self.code_hop_size)
+            eff_lens.append(eff)
+            codes.append(code[start_step : start_step + seg_frames].astype(np.int32))
+            f0s.append(pitch[start_step : start_step + seg_frames]
+                       .reshape(-1, 1).astype(np.float32))
+            spkr_name = parse_speaker(self.audio_files[i], self.multispkr)
+            spkrs.append(np.array(
+                [0 if self.unseen_speakers else self.spkr_to_id[spkr_name]], np.int32))
+
+        native_rows = [j for j, p in enumerate(paths) if p is not None]
+        audio = np.zeros((len(idxs), seg), np.float32)
+        for j, a in fallback_audio.items():
+            audio[j] = a[:seg]
+        if native_rows:
+            crops = load_crops([paths[j] for j in native_rows],
+                               [starts[j] for j in native_rows], seg,
+                               [eff_lens[j] for j in native_rows])
+            for k, j in enumerate(native_rows):
+                audio[j] = crops[k]
+        if self.f0_normalize:
+            for j in range(len(idxs)):
+                f0s[j] = self._normalize_f0(f0s[j], self.audio_files[idxs[j]])
+        return {
+            "code": np.stack(codes),
+            "f0": np.stack(f0s),
+            "spkr": np.stack(spkrs),
+            "audio": audio,
+        }
+
+    def _normalize_f0(self, f0: np.ndarray, filename) -> np.ndarray:
+        spkr_name = parse_speaker(filename, self.multispkr)
+        if self.f0_stats is None or spkr_name not in self.f0_stats:
+            mean = self.f0_stats["f0_mean"] if self.f0_stats else 0.0
+            std = self.f0_stats["f0_std"] if self.f0_stats else 1.0
+        else:
+            mean = self.f0_stats[spkr_name]["mean"]
+            std = self.f0_stats[spkr_name]["std"]
+        f0 = f0.copy()
+        ii = f0 != 0
+        if self.f0_median and ii.any():
+            med = np.median(f0[ii])
+            f0[~ii] = med
+            f0[~ii] = (f0[~ii] - mean) / std
+        f0[ii] = (f0[ii] - mean) / std
+        return f0
+
+
+class F0Dataset:
+    """Standalone F0 dataset for F0-VQVAE quantizer training.
+
+    Equivalent of reference ``sr/dataset.py:328-449``: same interval
+    sampling, YAAPT F0 per crop, optional per-speaker whitening keyed by
+    speaker *id* with ``f0_mean``/``f0_std`` keys.  Unused by the shipped
+    DISSC configs but part of the component inventory (SURVEY §2.2).
+    """
+
+    def __init__(self, files, segment_size, sampling_rate, multispkr="_",
+                 f0_stats=None, f0_normalize=False, f0_median=False,
+                 f0_interp=False, pad=None, seed=1234):
+        self.audio_files = files[0] if isinstance(files, tuple) else files
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.multispkr = multispkr
+        self.f0_stats = f0_stats
+        self.f0_normalize = f0_normalize
+        self.f0_median = f0_median
+        self.f0_interp = f0_interp
+        self.pad = pad
+        self._rng = random.Random(seed)
+        if self.multispkr:
+            spkrs = sorted({parse_speaker(f, self.multispkr) for f in self.audio_files})
+            self.id_to_spkr = spkrs
+            self.spkr_to_id = {k: v for v, k in enumerate(spkrs)}
+
+    def __len__(self):
+        return len(self.audio_files)
+
+    def __getitem__(self, index):
+        filename = self.audio_files[index]
+        audio, sr = read_wav(str(filename), dtype="int16")
+        if self.pad:
+            padding = self.pad - (audio.shape[-1] % self.pad)
+            audio = np.pad(audio, (0, padding), "constant")
+        if sr != self.sampling_rate:
+            raise ValueError(f"{sr} SR doesn't match target {self.sampling_rate} SR")
+        audio = normalize_audio_int16(audio)
+
+        while audio.shape[0] < self.segment_size:
+            audio = np.hstack([audio, audio])
+        n_starts = audio.shape[0] - self.segment_size
+        start = self._rng.randint(0, max(n_starts, 0))
+        audio = audio[start : start + self.segment_size].astype(np.float32)
+
+        feats = {}
+        try:
+            from dissc_tpu.audio.yaapt import yaapt_f0
+
+            f0 = yaapt_f0(audio, self.sampling_rate, interp=self.f0_interp)
+        except Exception:
+            f0 = np.zeros(audio.shape[0] // 80, np.float32)
+        feats["f0"] = f0.reshape(-1, 1).astype(np.float32)
+
+        if self.multispkr:
+            spkr_id = self.spkr_to_id[parse_speaker(filename, self.multispkr)]
+            feats["spkr"] = np.array([spkr_id], np.int32)
+
+        if self.f0_normalize:
+            sid = int(feats["spkr"][0]) if self.multispkr else 0
+            if self.f0_stats is None or sid not in self.f0_stats:
+                mean = self.f0_stats["f0_mean"] if self.f0_stats else 0.0
+                std = self.f0_stats["f0_std"] if self.f0_stats else 1.0
+            else:
+                mean = self.f0_stats[sid]["f0_mean"]
+                std = self.f0_stats[sid]["f0_std"]
+            f0 = feats["f0"]
+            ii = f0 != 0
+            if self.f0_median and ii.any():
+                med = np.median(f0[ii])
+                f0[~ii] = med
+                f0[~ii] = (f0[~ii] - mean) / std
+            f0[ii] = (f0[ii] - mean) / std
+            feats["f0"] = f0
+
+        feats["audio"] = audio
+        feats["filename"] = str(filename)
+        return feats

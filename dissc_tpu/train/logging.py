@@ -48,6 +48,22 @@ class MetricLogger:
         self._jsonl.close()
 
 
+def plot_spectrogram(spectrogram):
+    """Matplotlib figure of a mel spectrogram for TB validation samples
+    (reference ``sr/utils.py:20-29``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 2))
+    im = ax.imshow(spectrogram, aspect="auto", origin="lower", interpolation="none")
+    plt.colorbar(im, ax=ax)
+    fig.canvas.draw()
+    plt.close(fig)
+    return fig
+
+
 def init_loggers(path: str):
     """Fresh train/val writers; wipes prior logs and best model
     (reference ``utils.py:22-29`` semantics)."""

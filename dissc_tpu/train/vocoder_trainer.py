@@ -304,8 +304,27 @@ def train_vocoder(
                     if i >= max_val_batches:
                         break
                     vbatch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in vbatch.items()})
-                    err, _ = val_step(state, vbatch)
+                    err, y_hat = val_step(state, vbatch)
                     errs.append(float(err))
+                    if i == 0:
+                        # first-batch audio + spectrogram samples, like the
+                        # reference's validation logging (sr/train.py:216-273)
+                        from dissc_tpu.audio.mel import mel_spectrogram as _mel
+                        from dissc_tpu.train.logging import plot_spectrogram
+
+                        wav0 = np.asarray(y_hat)[0]
+                        logger.audio("generated/y_hat_0", wav0, steps,
+                                     sample_rate=h.sampling_rate)
+                        spec = np.asarray(_mel(wav0[None, :],
+                                               n_fft=h.n_fft, num_mels=h.num_mels,
+                                               sampling_rate=h.sampling_rate,
+                                               hop_size=h.hop_size, win_size=h.win_size,
+                                               fmin=h.fmin, fmax=h.fmax))[0]
+                        try:
+                            logger.figure("generated/y_hat_spec_0",
+                                          plot_spectrogram(spec), steps)
+                        except Exception:
+                            pass
                 if errs:
                     logger.scalars({"mel_spec_error": float(np.mean(errs))}, steps,
                                    prefix="validation/")

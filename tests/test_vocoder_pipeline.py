@@ -1,0 +1,121 @@
+"""Vocoder pipeline integration: dataset -> GAN training -> checkpoints ->
+resume -> inference, on a tiny config with synthetic WAVs."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dissc_tpu.core.config import VocoderConfig
+from dissc_tpu.core.wav import write_wav
+
+
+def _make_vocoder_corpus(root, n_files=6, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    records = []
+    for i in range(n_files):
+        spk = ["p1", "p2"][i % 2]
+        n_frames = int(rng.integers(8, 14))
+        wav = (rng.standard_normal(n_frames * 320) * 0.2).astype(np.float32)
+        name = f"{spk}_{i:03d}.wav"
+        write_wav(os.path.join(root, "wav", name), wav, 16000)
+        units = rng.integers(0, 100, n_frames).tolist()
+        f0 = (rng.uniform(80, 250, n_frames) * (rng.random(n_frames) > 0.3)).tolist()
+        records.append({"units": units, "f0": f0, "audio": name})
+    for split, recs in (("train", records[:4]), ("val", records[4:])):
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+    return root
+
+
+def _tiny_config(root):
+    return VocoderConfig(
+        upsample_initial_channel=32,
+        embedding_dim=8,
+        model_in_dim=17,
+        segment_size=1280,
+        batch_size=2,
+        input_training_file=os.path.join(root, "train.txt"),
+        input_validation_file=os.path.join(root, "val.txt"),
+        train_base_path=os.path.join(root, "wav"),
+        val_base_path=os.path.join(root, "wav"),
+        test_base_path=os.path.join(root, "wav"),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return _make_vocoder_corpus(str(tmp_path_factory.mktemp("voc")))
+
+
+def test_code_dataset_native_and_python_paths_agree(corpus):
+    from dissc_tpu.data.code_dataset import CodeDataset, get_dataset_filelist
+
+    h = _tiny_config(corpus)
+    files, _ = get_dataset_filelist(h)
+    ds_a = CodeDataset(files, h.segment_size, h.code_hop_size, h.sampling_rate, seed=7)
+    ds_b = CodeDataset(files, h.segment_size, h.code_hop_size, h.sampling_rate, seed=7)
+    batch_native = next(ds_a.batches(2, shuffle=False, use_native=True))
+    batch_python = next(ds_b.batches(2, shuffle=False, use_native=False))
+    for k in ("code", "f0", "spkr"):
+        np.testing.assert_array_equal(batch_native[k], batch_python[k], err_msg=k)
+    np.testing.assert_allclose(batch_native["audio"], batch_python["audio"], atol=1e-5)
+
+
+def test_train_vocoder_checkpoints_and_resume(corpus, tmp_path):
+    from dissc_tpu.train.checkpoints import scan_checkpoint
+    from dissc_tpu.train.vocoder_trainer import train_vocoder
+
+    h = _tiny_config(corpus)
+    ckpt = str(tmp_path / "ckpt")
+    state = train_vocoder(
+        h, ckpt, training_steps=3, training_epochs=10,
+        stdout_interval=1, checkpoint_interval=2, summary_interval=100,
+        validation_interval=2, max_val_batches=1,
+    )
+    assert int(state.step) == 3
+    assert scan_checkpoint(ckpt, "g_") is not None
+    assert scan_checkpoint(ckpt, "do_") is not None
+    assert os.path.exists(os.path.join(ckpt, "id_to_spkr.pkl"))
+
+    # resume continues from the saved step
+    state2 = train_vocoder(
+        h, ckpt, training_steps=5, training_epochs=10,
+        stdout_interval=1, checkpoint_interval=100, summary_interval=100,
+        validation_interval=100, max_val_batches=1,
+    )
+    assert int(state2.step) == 5
+
+
+def test_vocoder_inference_from_trained_checkpoint(corpus, tmp_path):
+    import dataclasses
+    import jax
+
+    from dissc_tpu.infer.vocoder import run_inference
+    from dissc_tpu.train.vocoder_trainer import train_vocoder
+
+    h = _tiny_config(corpus)
+    ckpt = str(tmp_path / "ckpt2")
+    train_vocoder(h, ckpt, training_steps=1, training_epochs=10,
+                  stdout_interval=10, checkpoint_interval=1,
+                  summary_interval=100, validation_interval=100)
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(h), f)
+    out_dir = str(tmp_path / "wavs")
+    rtf = run_inference(
+        checkpoint_file=ckpt,
+        input_code_file=os.path.join(corpus, "val.txt"),
+        output_dir=out_dir,
+        data_path=os.path.join(corpus, "wav"),
+        vc=True,
+        target_speakers=["p2"],
+        n=2,
+    )
+    gen = [f for f in os.listdir(out_dir) if f.endswith("_gen.wav")]
+    gt = [f for f in os.listdir(out_dir) if f.endswith("_gt.wav")]
+    assert len(gt) == 2
+    # resynthesis + VC outputs for each of the 2 items
+    assert len(gen) == 4
+    assert rtf > 0
