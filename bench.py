@@ -39,8 +39,9 @@ def main():
     id2mean = jnp.asarray(rng.uniform(100, 250, n_speakers).astype(np.float32))
     id2std = jnp.asarray(rng.uniform(10, 40, n_speakers).astype(np.float32))
 
-    # vocoder (full-size VCTK config)
-    h = VocoderConfig()
+    # vocoder (full-size VCTK config); bf16 trunk + f32 waveform head —
+    # validated <0.05 log-mel drift vs f32 in tests/test_bf16.py
+    h = VocoderConfig(compute_dtype="bfloat16")
     voc = CodeGenerator(h)
     code0 = jnp.zeros((B, OUT_T), jnp.int32)
     f00 = jnp.zeros((B, OUT_T, 1), jnp.float32)

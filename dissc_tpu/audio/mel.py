@@ -120,8 +120,11 @@ def stft_magnitude(
     Periodic hann window, center=False, onesided, magnitude with the
     reference's ``sqrt(.^2 + 1e-9)`` floor (``sr/dataset.py:61-64``).
     """
-    window = jnp.asarray(np.hanning(win_size + 1)[:-1].astype(np.float32))  # periodic hann
-    frames = _frame(y, n_fft, hop) * window  # [B, F, n_fft]
+    window = np.hanning(win_size + 1)[:-1].astype(np.float32)  # periodic hann
+    if win_size < n_fft:  # torch.stft centre-pads the window to n_fft
+        lpad = (n_fft - win_size) // 2
+        window = np.pad(window, (lpad, n_fft - win_size - lpad))
+    frames = _frame(y, n_fft, hop) * jnp.asarray(window)  # [B, F, n_fft]
     if use_matmul:
         cos_b, sin_b = _dft_bases(n_fft)
         # HIGHEST precision: the DFT must not run through bf16 MXU passes

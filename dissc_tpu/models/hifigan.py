@@ -26,6 +26,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+
+def _resolve_dtype(name):
+    """'bfloat16'/'float32'/None -> jnp dtype or None (= f32 passthrough)."""
+    if name in (None, "float32", "f32"):
+        return None
+    return jnp.dtype(name)
+
 from dissc_tpu.core.config import VocoderConfig
 from dissc_tpu.core.seqops import nearest_upsample
 from dissc_tpu.models.layers import Conv1d, ConvTranspose1d, hifigan_init, leaky_relu, same_padding
@@ -40,16 +47,19 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
-                        kernel_init=hifigan_init(), name=f"convs1_{i}")(xt)
+                        kernel_init=hifigan_init(), dtype=self.dtype,
+                        name=f"convs1_{i}")(xt)
             xt = leaky_relu(xt)
             xt = Conv1d(self.channels, self.kernel_size, dilation=1, norm="weight",
-                        kernel_init=hifigan_init(), name=f"convs2_{i}")(xt)
+                        kernel_init=hifigan_init(), dtype=self.dtype,
+                        name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -63,13 +73,15 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
-                        kernel_init=hifigan_init(), name=f"convs_{i}")(xt)
+                        kernel_init=hifigan_init(), dtype=self.dtype,
+                        name=f"convs_{i}")(xt)
             x = xt + x
         return x
 
@@ -87,22 +99,27 @@ class Generator(nn.Module):
         h = self.h
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        dtype = _resolve_dtype(h.get("compute_dtype"))
 
         x = Conv1d(h.upsample_initial_channel, 7, padding=3, norm="weight",
-                   name="conv_pre")(x)
+                   dtype=dtype, name="conv_pre")(x)
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             ch = h.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x)
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, norm="weight",
-                                kernel_init=hifigan_init(), name=f"ups_{i}")(x)
+                                kernel_init=hifigan_init(), dtype=dtype,
+                                name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
-                y = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")(x)
+                y = resblock_cls(ch, rk, tuple(rd), dtype=dtype,
+                                 name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
         x = leaky_relu(x)
+        # the waveform head always runs f32: bf16 rounding on the output
+        # samples would cost ~8 bits of audio SNR for negligible speed
         x = Conv1d(1, 7, padding=3, norm="weight", kernel_init=hifigan_init(),
-                   name="conv_post")(x)
+                   dtype=jnp.float32, name="conv_post")(x.astype(jnp.float32))
         return jnp.tanh(x)[..., 0]
 
 

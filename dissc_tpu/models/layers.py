@@ -82,6 +82,7 @@ class Conv1d(nn.Module):
     norm: Optional[str] = None  # None | 'weight' | 'spectral'
     kernel_init: Optional[Callable] = None
     precision: Optional[jax.lax.Precision] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -107,6 +108,9 @@ class Conv1d(nn.Module):
             kernel = self.param("kernel", kinit, k_shape)
 
         pad = self.padding if self.padding is not None else same_padding(self.kernel_size, self.dilation)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -119,7 +123,7 @@ class Conv1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
     def _spectral_normalize(self, kernel: jax.Array, train: bool) -> jax.Array:
@@ -171,6 +175,7 @@ class ConvTranspose1d(nn.Module):
     norm: Optional[str] = None
     kernel_init: Optional[Callable] = None
     precision: Optional[jax.lax.Precision] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -194,6 +199,9 @@ class ConvTranspose1d(nn.Module):
         # correlate the stride-dilated input with the flipped kernel
         rhs = jnp.flip(kernel, axis=0).transpose(0, 2, 1)  # (k, in, out)
         pad = self.kernel_size - 1 - self.padding
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            rhs = rhs.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             rhs,
@@ -205,7 +213,7 @@ class ConvTranspose1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(in_ch * self.kernel_size), (self.features,))
-            y = y + bias
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 

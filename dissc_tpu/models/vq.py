@@ -72,19 +72,27 @@ class BottleneckBlock(nn.Module):
         return self.k.value[x_l]
 
     def __call__(self, x, update_k: bool = True):
-        """x: [B, T, D] -> (codes [B,T], quantised [B,T,D], commit_loss, metrics)."""
+        """x: [B, T, D] -> (codes [B,T], quantised [B,T,D], commit_loss, metrics).
+
+        The first-batch codebook bootstrap (reference ``init_k``,
+        ``sr/modules/vq.py:35-45``) is branchless — selected by the
+        ``initted`` flag with ``jnp.where`` — so the whole step stays one
+        jittable program.
+        """
         B, T, D = x.shape
         flat = x.reshape(-1, D)
         prenorm = jnp.linalg.norm(flat - jnp.mean(flat)) / jnp.sqrt(
             jnp.float32(flat.size)
         )
 
-        if update_k and not self.initted.value and not self.is_initializing():
+        if update_k and not self.is_initializing():
+            inited = self.initted.value
             rng = self.make_rng("vq")
-            k_init = self._tile_to_bins(flat, rng)
-            self.k.value = k_init
-            self.k_sum.value = k_init
-            self.k_elem.value = jnp.ones((self.k_bins,))
+            k_init = self._tile_to_bins(jax.lax.stop_gradient(flat), rng)
+            self.k.value = jnp.where(inited, self.k.value, k_init)
+            self.k_sum.value = jnp.where(inited, self.k_sum.value, k_init)
+            self.k_elem.value = jnp.where(inited, self.k_elem.value,
+                                          jnp.ones((self.k_bins,)))
             self.initted.value = jnp.ones((), jnp.bool_)
 
         x_l, fit = self.quantise(flat)
