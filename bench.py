@@ -39,9 +39,12 @@ def main():
     id2mean = jnp.asarray(rng.uniform(100, 250, n_speakers).astype(np.float32))
     id2std = jnp.asarray(rng.uniform(10, 40, n_speakers).astype(np.float32))
 
-    # vocoder (full-size VCTK config); bf16 trunk + f32 waveform head —
-    # validated <0.05 log-mel drift vs f32 in tests/test_bf16.py
-    h = VocoderConfig(compute_dtype="bfloat16")
+    # vocoder (full-size VCTK config), f32: measured RTF 0.0152 vs 0.077
+    # for the bf16 trunk on this backend — the bf16 1D-conv lowering
+    # relayouts dominate at these channel widths, so f32 is the fast
+    # path here (bf16 stays available via compute_dtype for backends
+    # where it wins; numerics validated in tests/test_bf16.py).
+    h = VocoderConfig()
     voc = CodeGenerator(h)
     code0 = jnp.zeros((B, OUT_T), jnp.int32)
     f00 = jnp.zeros((B, OUT_T, 1), jnp.float32)

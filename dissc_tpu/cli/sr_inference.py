@@ -46,6 +46,9 @@ def main(argv=None):
         pad=args.pad,
         n=args.n,
         batch_size=args.batch_size,
+        code_file=args.code_file,
+        unseen_f0_path=str(args.unseen_f0) if args.unseen_f0 else None,
+        sample_df_path=str(args.sample_df) if args.sample_df else None,
     )
     print(f"\nmean RTF: {rtf:.4f}")
 

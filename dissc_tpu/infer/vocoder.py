@@ -128,6 +128,22 @@ class VocoderEngine:
         return out, float(np.mean(rtfs)) if rtfs else 0.0
 
 
+def parse_code_file(code_file: str):
+    """Raw-code manifest: ``name|u0 u1 u2 ...`` per line (the reference's
+    ``--code_file`` mode, ``sr/inference.py:122-129``)."""
+    items, names = [], []
+    with open(code_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            name, codes = line.split("|")
+            items.append({"code": np.asarray([int(v) for v in codes.split(" ")],
+                                             np.int32)})
+            names.append(name)
+    return items, names
+
+
 def run_inference(
     checkpoint_file: str,
     input_code_file: str,
@@ -141,10 +157,24 @@ def run_inference(
     pad: Optional[int] = None,
     n: int = -1,
     batch_size: int = 8,
+    code_file: Optional[str] = None,
+    unseen_f0_path: Optional[str] = None,
+    sample_df_path: Optional[str] = None,
 ) -> float:
     """File-level driver mirroring the reference CLI flow.  Returns mean RTF."""
     engine = VocoderEngine.from_checkpoint(checkpoint_file)
     h = engine.h
+
+    if code_file is not None:
+        # raw-code mode: units only, no gt audio / f0 / speakers
+        items, names = parse_code_file(code_file)
+        os.makedirs(output_dir, exist_ok=True)
+        wavs, rtf = engine.synthesize_utterances(items[: n if n != -1 else None],
+                                                 batch_size)
+        for name, wav in zip(names, wavs):
+            write_wav(os.path.join(output_dir, f"{Path(name).stem}_gen.wav"),
+                      peak_normalize(wav), h.sampling_rate)
+        return rtf
 
     base_path = data_path if data_path is not None else h.test_base_path
     file_list = parse_manifest(input_code_file, base_path)
@@ -158,14 +188,27 @@ def run_inference(
 
     from dissc_tpu.data.stats import load_f0_stats
 
+    stats_for_norm = None
+    if h.f0_normalize and h.f0_stats:
+        stats_for_norm = load_f0_stats(h.f0_stats)
+    if unseen_f0_path:
+        # override the normalisation stats for unseen-speaker inputs
+        # (reference ``sr/inference.py:148-149``)
+        stats_for_norm = load_f0_stats(unseen_f0_path)
     dataset = CodeDataset(
         file_list, -1, h.code_hop_size, h.sampling_rate,
         multispkr=h.multispkr, f0=h.f0,
-        f0_stats=load_f0_stats(h.f0_stats) if (h.f0_normalize and h.f0_stats) else None,
+        f0_stats=stats_for_norm,
         f0_normalize=h.f0_normalize, f0_median=h.f0_median, pad=pad,
         id_to_spkr=id_to_spkr, eval_mode=True, unseen_speakers=unseen_speaker,
     )
     f0_stats = load_f0_stats(f0_stats_path) if f0_stats_path else None
+
+    sample_df = None
+    if sample_df_path:
+        import pandas as pd
+
+        sample_df = pd.read_csv(sample_df_path, index_col=0)
 
     os.makedirs(output_dir, exist_ok=True)
     n_items = len(dataset) if n == -1 else min(n, len(dataset))
@@ -177,8 +220,9 @@ def run_inference(
         gts.append(feats["audio"])
 
     rtfs = []
-    # resynthesis with the source speaker
-    if not unseen_speaker:
+    # resynthesis with the source speaker (skipped for unseen speakers and
+    # in sample_df mode, like the reference sr/inference.py:203)
+    if not unseen_speaker and sample_df is None:
         wavs, rtf = engine.synthesize_utterances(items, batch_size)
         rtfs.append(rtf)
         for name, wav in zip(names, wavs):
@@ -190,22 +234,31 @@ def run_inference(
         targets = target_speakers or list(dataset.id_to_spkr)[:5]
         for t in targets:
             k = dataset.spkr_to_id[t] if isinstance(t, str) else int(t)
-            vc_items = []
-            for it in items:
+            vc_items, vc_names = [], []
+            for it, name in zip(items, names):
+                if sample_df is not None:
+                    cur = name.split("_mic2")[0]
+                    wanted = sample_df[sample_df.syn_sample == cur].syn_trgt.unique()
+                    if (t if isinstance(t, str) else dataset.id_to_spkr[k]) not in wanted:
+                        continue
                 new_it = dict(it)
                 new_it["spkr"] = np.array([k], np.int32)
                 if f0_stats is not None and h.f0 and not h.f0_normalize:
                     new_it["f0"] = _renorm_f0(it["f0"], k, t, f0_stats)
                 vc_items.append(new_it)
+                vc_names.append(name)
+            if not vc_items:
+                continue
             wavs, rtf = engine.synthesize_utterances(vc_items, batch_size)
             rtfs.append(rtf)
-            for name, wav in zip(names, wavs):
+            for name, wav in zip(vc_names, wavs):
                 write_wav(os.path.join(output_dir, f"{name}_{k}_gen.wav"),
                           peak_normalize(wav), h.sampling_rate)
 
-    for name, gt in zip(names, gts):
-        write_wav(os.path.join(output_dir, f"{name}_gt.wav"),
-                  peak_normalize(gt), h.sampling_rate)
+    if sample_df is None:
+        for name, gt in zip(names, gts):
+            write_wav(os.path.join(output_dir, f"{name}_gt.wav"),
+                      peak_normalize(gt), h.sampling_rate)
     return float(np.mean(rtfs)) if rtfs else 0.0
 
 

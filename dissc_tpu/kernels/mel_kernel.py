@@ -1,0 +1,121 @@
+"""Pallas fused log-mel-spectrogram kernel.
+
+The mel loss target is computed every vocoder training step
+(``train.vocoder_trainer``) on both the real and generated segment, so
+the whole chain — framing, windowing, DFT, magnitude, mel projection,
+log — is fused into ONE kernel here: each grid step DMAs its block of
+overlapping frames from HBM once (frames overlap by n_fft - hop, so a
+blocked DMA with a manual slice is required — BlockSpecs can't express
+overlap), runs two MXU matmuls against window-folded DFT bases
+([1024, 513] f32, resident in VMEM), the magnitude on the VPU, a third
+MXU matmul onto the mel basis, and writes only the [block, 80] log-mel
+tile back — the [F, 513] magnitude spectrogram never touches HBM (~6x
+less HBM traffic than the unfused chain at hop 256).
+
+Matches ``audio.mel.mel_spectrogram`` numerics (same bases, same
+``sqrt(.^2+1e-9)`` floor and ``log(clip(., 1e-5))``), which in turn
+bit-matches the reference torch/librosa chain (``sr/dataset.py:46-69``).
+Requires ``hop | n_fft`` (the DISSC config: 1024/256).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dissc_tpu.audio.mel import _dft_bases, mel_filterbank
+
+FRAME_BLOCK = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _folded_bases(n_fft: int, win_size: int, sampling_rate: int, num_mels: int,
+                  fmin: float, fmax):
+    """(window-folded cos, sin [n_fft, n_fft//2+1], mel.T [freq, mels])."""
+    window = np.hanning(win_size + 1)[:-1].astype(np.float32)
+    if win_size < n_fft:
+        lpad = (n_fft - win_size) // 2
+        window = np.pad(window, (lpad, n_fft - win_size - lpad))
+    cos_b, sin_b = _dft_bases(n_fft)
+    mel = mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax)
+    return window[:, None] * cos_b, window[:, None] * sin_b, mel.T.copy()
+
+
+def _mel_kernel(y_hbm, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem, *,
+                hop: int, n_fft: int, block: int):
+    bi = pl.program_id(0)
+    fj = pl.program_id(1)
+    r = n_fft // hop
+    span = (block + r - 1) * hop
+    # DMA this block's overlapping sample span HBM -> VMEM scratch
+    start = fj * block * hop
+    dma = pltpu.make_async_copy(
+        y_hbm.at[bi, pl.ds(start, span)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    x = scratch[:].reshape(block + r - 1, hop)
+    frames = jnp.concatenate([x[k : k + block] for k in range(r)], axis=-1)
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im + 1e-9)
+    melspec = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.log(jnp.clip(melspec, min=1e-5))[None]
+
+
+def mel_spectrogram_pallas(
+    y: jax.Array,
+    n_fft: int = 1024,
+    num_mels: int = 80,
+    sampling_rate: int = 16000,
+    hop_size: int = 256,
+    win_size: int = 1024,
+    fmin: float = 0,
+    fmax: Optional[float] = 8000,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, T] waveform -> [B, num_mels, T/hop] log-mel, fused on-chip."""
+    assert n_fft % hop_size == 0 and win_size <= n_fft
+    b, t = y.shape
+    pad = (n_fft - hop_size) // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (y.shape[1] - n_fft) // hop_size
+
+    block = min(FRAME_BLOCK, n_frames)
+    n_blocks = -(-n_frames // block)
+    r = n_fft // hop_size
+    span = (block + r - 1) * hop_size
+    # pad so every block (incl. the last) has its full sample span
+    needed = (n_blocks - 1) * block * hop_size + span
+    y = jnp.pad(y, ((0, 0), (0, max(0, needed - y.shape[1]))))
+
+    cos_b, sin_b, mel_t = _folded_bases(n_fft, win_size, sampling_rate, num_mels,
+                                        fmin, fmax)
+    freq = n_fft // 2 + 1
+
+    out = pl.pallas_call(
+        functools.partial(_mel_kernel, hop=hop_size, n_fft=n_fft, block=block),
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # y stays in HBM; manual DMA
+            pl.BlockSpec((n_fft, freq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, freq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((freq, num_mels), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block, num_mels), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks * block, num_mels), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((span,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(y, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_t))
+    return out[:, :n_frames, :].transpose(0, 2, 1)

@@ -35,8 +35,18 @@ class MetricLogger:
         self._jsonl.flush()
 
     def audio(self, tag: str, wav, step: int, sample_rate: int = 16000) -> None:
-        if self._tb is not None:
-            self._tb.add_audio(tag, wav.reshape(1, -1), step, sample_rate=sample_rate)
+        try:
+            if self._tb is not None:
+                self._tb.add_audio(tag, wav.reshape(1, -1), step,
+                                   sample_rate=sample_rate)
+        except Exception:
+            # tensorboardX's audio summary needs soundfile (absent in this
+            # image); fall back to a plain WAV next to the logs
+            from dissc_tpu.core.wav import write_wav
+
+            safe = tag.replace("/", "_")
+            write_wav(os.path.join(self.logdir, f"{safe}_{step}.wav"), wav,
+                      sample_rate)
 
     def figure(self, tag: str, fig, step: int) -> None:
         if self._tb is not None:
