@@ -47,21 +47,27 @@ def _folded_bases(n_fft: int, win_size: int, sampling_rate: int, num_mels: int,
 
 
 def _mel_kernel(y_hbm, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem, *,
-                hop: int, n_fft: int, block: int):
+                hop: int, n_fft: int, block: int, rows: int):
     bi = pl.program_id(0)
     fj = pl.program_id(1)
     r = n_fft // hop
-    span = (block + r - 1) * hop
-    # DMA this block's overlapping sample span HBM -> VMEM scratch
-    start = fj * block * hop
+    # One sublane-aligned DMA of this block's hop-chunk rows (start
+    # fj*block is a multiple of 8; `rows` covers the r-1 overlap frames,
+    # rounded up to the sublane tile), then the shifted frame views are
+    # built with tpu.roll + offset-0 slices — Mosaic supports neither
+    # unaligned DMA row starts nor concat of sublane-offset slices.
     dma = pltpu.make_async_copy(
-        y_hbm.at[bi, pl.ds(start, span)], scratch, sem
+        y_hbm.at[bi, pl.ds(fj * block, rows), :], scratch, sem
     )
     dma.start()
     dma.wait()
 
-    x = scratch[:].reshape(block + r - 1, hop)
-    frames = jnp.concatenate([x[k : k + block] for k in range(r)], axis=-1)
+    x = scratch[:]
+    # roll takes non-negative shifts: rolling by rows-k == shifting by -k
+    frames = jnp.concatenate(
+        [(x if k == 0 else pltpu.roll(x, x.shape[0] - k, 0))[:block]
+         for k in range(r)], axis=-1
+    )
     re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
     im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im + 1e-9)
@@ -90,17 +96,20 @@ def mel_spectrogram_pallas(
     block = min(FRAME_BLOCK, n_frames)
     n_blocks = -(-n_frames // block)
     r = n_fft // hop_size
-    span = (block + r - 1) * hop_size
-    # pad so every block (incl. the last) has its full sample span
-    needed = (n_blocks - 1) * block * hop_size + span
+    rows = -(-(block + r - 1) // 8) * 8  # sublane-aligned DMA row count
+    # pad so every block (incl. the last) has its full row span, then
+    # pre-chunk to [B, chunks, hop] for 2D-native DMAs in the kernel
+    needed = ((n_blocks - 1) * block + rows) * hop_size
     y = jnp.pad(y, ((0, 0), (0, max(0, needed - y.shape[1]))))
+    y = y.reshape(b, -1, hop_size)
 
     cos_b, sin_b, mel_t = _folded_bases(n_fft, win_size, sampling_rate, num_mels,
                                         fmin, fmax)
     freq = n_fft // 2 + 1
 
     out = pl.pallas_call(
-        functools.partial(_mel_kernel, hop=hop_size, n_fft=n_fft, block=block),
+        functools.partial(_mel_kernel, hop=hop_size, n_fft=n_fft, block=block,
+                          rows=rows),
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # y stays in HBM; manual DMA
@@ -113,7 +122,7 @@ def mel_spectrogram_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_blocks * block, num_mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((span,), jnp.float32),
+            pltpu.VMEM((rows, hop_size), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
