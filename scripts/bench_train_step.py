@@ -1,0 +1,58 @@
+"""GAN train-step throughput on the current device (full VCTK config).
+
+Reference headline: 400k steps in "a couple of days" on 2 GPUs
+(README.md:192) ~= 2.3 steps/s.  Prints steps/s and the projected
+wall-clock for the 400k-step budget on this chip.
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dissc_tpu.core.config import VocoderConfig
+    from dissc_tpu.train.vocoder_trainer import init_gan_state, make_gan_train_step
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    h = VocoderConfig(batch_size=batch_size)
+    seg_frames = h.segment_size // h.code_hop_size
+
+    state, gen_tx, disc_tx = init_gan_state(h, jax.random.key(0), seg_frames)
+    train_step, _ = make_gan_train_step(h, gen_tx, disc_tx)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(i):
+        return {
+            "code": jnp.asarray(rng.integers(0, 100, (batch_size, seg_frames))
+                                .astype(np.int32)),
+            "f0": jnp.asarray(rng.normal(0, 1, (batch_size, seg_frames, 1))
+                              .astype(np.float32)),
+            "spkr": jnp.asarray(rng.integers(0, 100, (batch_size, 1)).astype(np.int32)),
+            "audio": jnp.asarray((rng.standard_normal((batch_size, h.segment_size))
+                                  * 0.3).astype(np.float32)),
+        }
+
+    batches = [make_batch(i) for i in range(6)]
+    t0 = time.time()
+    state, metrics = train_step(state, batches[0])
+    jax.block_until_ready(metrics["loss_disc"])
+    print(f"compile + first step: {time.time()-t0:.1f}s")
+
+    start = time.time()
+    n = 5
+    for i in range(1, n + 1):
+        state, metrics = train_step(state, batches[i])
+    jax.block_until_ready(metrics["loss_disc"])
+    dt = (time.time() - start) / n
+    print(f"train step: {dt*1e3:.1f} ms/step @ batch {batch_size} "
+          f"({1/dt:.2f} steps/s; 400k steps ~= {400000*dt/3600:.1f} h)")
+
+
+if __name__ == "__main__":
+    main()
