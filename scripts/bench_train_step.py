@@ -38,17 +38,21 @@ def main():
                                   * 0.3).astype(np.float32)),
         }
 
-    batches = [make_batch(i) for i in range(6)]
+    batches = [make_batch(i) for i in range(12)]
     t0 = time.time()
     state, metrics = train_step(state, batches[0])
-    jax.block_until_ready(metrics["loss_disc"])
-    print(f"compile + first step: {time.time()-t0:.1f}s")
+    print(f"compile + first step: {time.time()-t0:.1f}s "
+          f"(first loss_disc {float(metrics['loss_disc']):.3f})")
 
+    # chain n steps, then force-materialise the FINAL state (a reduction
+    # over a param leaf) — block_until_ready on an intermediate scalar
+    # can return early on remote backends, which under-reports wildly.
+    n = 10
     start = time.time()
-    n = 5
     for i in range(1, n + 1):
         state, metrics = train_step(state, batches[i])
-    jax.block_until_ready(metrics["loss_disc"])
+    leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
+    _ = float(jnp.sum(leaf))
     dt = (time.time() - start) / n
     print(f"train step: {dt*1e3:.1f} ms/step @ batch {batch_size} "
           f"({1/dt:.2f} steps/s; 400k steps ~= {400000*dt/3600:.1f} h)")
