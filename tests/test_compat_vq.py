@@ -162,3 +162,33 @@ def test_jukebox_encoder_decoder_roundtrip_shapes(rng):
     dp = dec.init(jax.random.key(1), xs)
     y = dec.apply(dp, xs)
     assert y.shape == (2, 16, 1)
+
+
+def test_export_import_roundtrip(rng):
+    """export_code_generator(import) == identity on the torch-layout dict,
+    and import(export) == identity on the Flax tree."""
+    import jax
+
+    from dissc_tpu.compat.torch_export import export_code_generator
+    from dissc_tpu.models.hifigan import CodeGenerator
+
+    h = VocoderConfig(upsample_initial_channel=32, embedding_dim=8, model_in_dim=17)
+    model = CodeGenerator(h)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4, 1)),
+        jnp.zeros((1, 1), jnp.int32),
+    )["params"]
+
+    sd = export_code_generator(params, h)
+    back = import_code_generator(sd, h)
+    flat_a = _tree_shapes(params)
+    flat_b = _tree_shapes(back)
+    assert flat_a == flat_b
+    import flax
+
+    for (ka, va), (kb, vb) in zip(
+        sorted(flax.traverse_util.flatten_dict(params).items()),
+        sorted(flax.traverse_util.flatten_dict(back).items()),
+    ):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(va), vb, atol=1e-7, err_msg=str(ka))
