@@ -177,3 +177,39 @@ def test_vocoder_engine_buckets_and_lengths(tmp_path):
     assert wavs[0].shape == (3 * 320,)
     assert wavs[1].shape == (10 * 320,)
     assert rtf > 0
+
+
+def test_infer_sample_df_restricts_pairs(toy_corpus, trained_checkpoints, tmp_path):
+    """sample_df mode: no reconstruction, only the CSV's (sample, target)
+    pairs are converted (reference infer.py:112-122)."""
+    import pandas as pd
+
+    from dissc_tpu.data.jsonl import read_unit_records
+    from dissc_tpu.infer.prosody import infer_file
+
+    len_dir, pitch_dir = trained_checkpoints
+    # val records are p1_200.wav, p2_201.wav, p1_202.wav, p2_203.wav
+    df = pd.DataFrame({
+        "ref": ["p2_000", "p1_000"],
+        "syn_trgt": ["p2", "p1"],
+        "syn_sample": ["p1_200", "p2_201"],
+        "label": [1, 0],
+    })
+    csv = str(tmp_path / "speaker_verification.csv")
+    df.to_csv(csv)
+
+    out = str(tmp_path / "pred_sv")
+    infer_file(
+        input_path=os.path.join(toy_corpus, "val.txt"),
+        out_path=out,
+        len_model_dir=len_dir,
+        f0_model_dir=pitch_dir,
+        f0_stats_path=os.path.join(toy_corpus, "f0_stats.pkl"),
+        vc=True,
+        sample_df=csv,
+    )
+    assert not os.path.exists(os.path.join(out, "val.txt"))  # no reconstruction
+    p2_recs = read_unit_records(os.path.join(out, "p2_val.txt"))
+    assert [r["audio"] for r in p2_recs] == ["p1_200.wav"]
+    p1_recs = read_unit_records(os.path.join(out, "p1_val.txt"))
+    assert [r["audio"] for r in p1_recs] == ["p2_201.wav"]
