@@ -41,7 +41,7 @@ N_CANDS = 5
 
 
 @functools.lru_cache(maxsize=4)
-def _bandpass_fir(sr: int, lo: float = 150.0, hi: float = 1500.0, ntaps: int = 151):
+def _bandpass_fir(sr: int, lo: float = 50.0, hi: float = 1500.0, ntaps: int = 151):
     from scipy.signal import firwin
 
     return firwin(ntaps, [lo, hi], fs=sr, pass_zero=False).astype(np.float32)
@@ -86,6 +86,42 @@ def _local_max_mask(a: jnp.ndarray) -> jnp.ndarray:
     return (a >= left) & (a > right)
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_frames",
+                                             "frame_len", "n_harm"))
+def _shc(x: jnp.ndarray, sr: int, n_fft: int, hop: int, n_frames: int,
+         frame_len: int, n_harm: int = 3, wl_hz: float = 40.0):
+    """Spectral Harmonics Correlation (YAAPT's spectral pitch channel).
+
+    SHC(t, f) = sum_{f' in +-WL/2} prod_{r=1..NH+1} |S(t, r*f + f')| over
+    the magnitude spectrogram of the (squared) signal — peaks at the true
+    F0 even when the fundamental is weak, complementing NCCF's
+    subharmonic ambiguity.  Returns ([F, n_f0_bins] SHC, f0 bin centres).
+    """
+    frames = _frames(x, frame_len, hop, n_frames)
+    win = jnp.asarray(np.hanning(frame_len).astype(np.float32))
+    spec = jnp.abs(jnp.fft.rfft(frames * win, n=n_fft, axis=-1))  # [F, n_fft//2+1]
+    df = sr / n_fft
+    half_w = max(1, int(wl_hz / 2 / df))
+    f0_bins = jnp.arange(int(F0_MIN / df), int(F0_MAX / df) + 1)
+
+    # product over harmonics of windowed sums around r*f0_bin
+    csum = jnp.cumsum(spec, axis=-1)
+    max_bin = spec.shape[-1] - 1
+
+    def harm_window_sum(r):
+        centers = jnp.clip(f0_bins * r, 0, max_bin)
+        lo = jnp.clip(centers - half_w, 0, max_bin)
+        hi = jnp.clip(centers + half_w, 0, max_bin)
+        return csum[:, hi] - jnp.where(lo > 0, csum[:, lo - 1], 0.0)  # [F, B]
+
+    shc = harm_window_sum(1)
+    for r in range(2, n_harm + 2):
+        shc = shc * harm_window_sum(r)
+    # per-frame normalisation to [0, 1]
+    shc = shc / jnp.maximum(jnp.max(shc, axis=-1, keepdims=True), 1e-12)
+    return shc, f0_bins.astype(jnp.float32) * df
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "min_lag", "max_lag"))
 def _candidates(nccf: jnp.ndarray, sr: int, min_lag: int, max_lag: int):
     """Top-K local-max NCCF peaks per frame -> (f0 candidates, merits).
@@ -105,26 +141,46 @@ def _candidates(nccf: jnp.ndarray, sr: int, min_lag: int, max_lag: int):
 
 
 @jax.jit
-def _viterbi(f0_cands: jnp.ndarray, merits: jnp.ndarray, energy: jnp.ndarray):
+def _viterbi(f0_cands: jnp.ndarray, merits: jnp.ndarray, energy: jnp.ndarray,
+             spec_f0: jnp.ndarray, spec_strength: jnp.ndarray):
     """DP over [K voiced candidates + 1 unvoiced state] per frame.
 
-    Costs: emission = 1 - merit (voiced) or a voicing penalty keyed to
-    the NCCF threshold and frame energy (unvoiced); transition =
-    octave-distance |log2(f1/f2)| between voiced states, fixed cost for
-    voicing flips.  Returns the argmax path's f0 (0 = unvoiced).
+    Costs: emission = 1 - merit plus an octave-distance penalty to the
+    spectral (SHC) pitch estimate when that estimate is confident —
+    YAAPT's combination of temporal and spectral channels; unvoiced
+    emission keyed to the NCCF threshold, frame energy and SHC
+    confidence; transition = octave distance between voiced states,
+    fixed cost for voicing flips.  Returns the best path's f0 (0 =
+    unvoiced).
     """
     F, K = f0_cands.shape
     VOICING_COST = 0.35
     TRANS_W = 0.6
+    SPEC_W = 0.25
 
-    # unvoiced emission: cheap when best merit is low or frame is silent
     best_merit = jnp.max(merits, axis=-1)
     energy_db = 10.0 * jnp.log10(energy + 1e-10)
     silent = energy_db < (jnp.max(energy_db) - 35.0)
-    unvoiced_cost = jnp.where(
-        (best_merit < NCCF_THRESH) | silent, 0.0, best_merit - NCCF_THRESH + 0.12
-    )
+
     voiced_cost = jnp.where(merits > 0, 1.0 - merits, 1e3)  # [F, K]
+    # spectral-channel penalty, SELF-VALIDATED: the SHC estimate only
+    # counts when it agrees (within ~a semitone) with some NCCF
+    # candidate — on pure tones / coarse-resolution frames the SHC peak
+    # is spurious and the gate rejects it.
+    spec_dist = jnp.abs(
+        jnp.log2(jnp.maximum(f0_cands, 1.0))
+        - jnp.log2(jnp.maximum(spec_f0, 1.0))[:, None]
+    )
+    spec_valid = (jnp.min(spec_dist, axis=-1) < 0.08) & (spec_strength > 0.2)
+    spec_gate = spec_valid.astype(jnp.float32) * spec_strength
+    voiced_cost = voiced_cost + SPEC_W * spec_gate[:, None] * jnp.minimum(spec_dist, 2.0)
+
+    weak_spectral = ~spec_valid
+    unvoiced_cost = jnp.where(
+        ((best_merit < NCCF_THRESH) & weak_spectral) | silent,
+        0.0,
+        best_merit - NCCF_THRESH + 0.12,
+    )
     emis = jnp.concatenate([voiced_cost, unvoiced_cost[:, None]], axis=-1)  # [F, K+1]
 
     log_f0 = jnp.log2(jnp.maximum(f0_cands, 1.0))  # [F, K]
@@ -172,12 +228,15 @@ def yaapt_f0(
     interp: bool = False,
     frame_length_ms: float = 20.0,
     frame_space_ms: float = 5.0,
+    tda_frame_length_ms: float = 25.0,
 ) -> np.ndarray:
     """Track F0 of a mono waveform; returns one value per 5 ms frame.
 
     Mirrors the reference call pattern (``sr/dataset.py:27-43``): the
     input is padded by frame_length/2 on both sides, unvoiced frames are
-    0 (or interpolated when ``interp``).
+    0 (or interpolated when ``interp``).  Combines the temporal (NCCF)
+    and spectral (SHC on the squared signal, ``tda_frame_length``)
+    channels as YAAPT does.
     """
     audio = np.asarray(audio, np.float32).reshape(-1)
     frame_len = int(frame_length_ms / 1000 * sr)
@@ -188,7 +247,8 @@ def yaapt_f0(
     # two signal paths: bandpassed original + bandpassed squared signal
     fir = _bandpass_fir(sr)
     xf = np.convolve(x, fir, mode="same").astype(np.float32)
-    xnl = np.convolve(x * x, fir, mode="same").astype(np.float32)
+    sq = x * x
+    xnl = np.convolve(sq - sq.mean(), fir, mode="same").astype(np.float32)
 
     min_lag = int(sr / F0_MAX)
     max_lag = int(np.ceil(sr / F0_MIN))
@@ -202,7 +262,34 @@ def yaapt_f0(
     f0_cands, merits = _candidates(nccf, sr, min_lag, max_lag)
     frames = _frames(jnp.asarray(xf), frame_len, hop, n_frames)
     energy = jnp.sum(frames * frames, axis=-1)
-    f0 = np.asarray(_viterbi(f0_cands, merits, energy))
+
+    # spectral channel: SHC peaks over both paths — the original signal
+    # covers pure/strong-fundamental frames, the squared signal restores
+    # a missing fundamental (sin^2 puts energy at 2f, so alone it would
+    # mislead on pure tones)
+    tda_len = int(tda_frame_length_ms / 1000 * sr)
+    if len(x) >= tda_len + (n_frames - 1) * hop:
+        shc_a, f0_axis = _shc(jnp.asarray(xf), sr, 2048, hop, n_frames, tda_len)
+        shc_b, _ = _shc(jnp.asarray(xnl), sr, 2048, hop, n_frames, tda_len)
+        shc = jnp.maximum(shc_a, shc_b)
+        spec_idx = jnp.argmax(shc, axis=-1)
+        spec_f0 = f0_axis[spec_idx]
+        # confidence: peak sharpness (peak / mean); boundary-bin argmaxes
+        # are window-mainlobe artifacts, not pitch — zero them out
+        interior = (spec_idx > 1) & (spec_idx < shc.shape[-1] - 2)
+        spec_strength = jnp.where(
+            interior,
+            jnp.clip(
+                shc[jnp.arange(n_frames), spec_idx]
+                / jnp.maximum(jnp.mean(shc, axis=-1), 1e-9) / 20.0, 0.0, 1.0,
+            ),
+            0.0,
+        )
+    else:
+        spec_f0 = jnp.zeros((n_frames,))
+        spec_strength = jnp.zeros((n_frames,))
+
+    f0 = np.asarray(_viterbi(f0_cands, merits, energy, spec_f0, spec_strength))
 
     # frame count the reference observes: len(audio)//hop
     target = max(1, int(round(len(audio) / hop)))

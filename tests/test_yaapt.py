@@ -69,3 +69,25 @@ def test_batch_shape():
     x = np.stack([_voiced_tone(120.0, 0.2), _voiced_tone(200.0, 0.2)])
     out = yaapt_f0_batch(x)
     assert out.shape == (2, 1, x.shape[1] // 80)
+
+
+def test_noisy_tone_tracked():
+    """Spectral (SHC) channel keeps the track through heavy noise."""
+    rng = np.random.default_rng(3)
+    x = _voiced_tone(160.0, 0.5) + rng.standard_normal(8000).astype(np.float32) * 0.3
+    f0 = yaapt_f0(x, 16000)
+    voiced = f0[f0 > 0]
+    assert voiced.size > 0.4 * f0.size
+    assert abs(np.median(voiced) - 160.0) / 160.0 < 0.08
+
+
+def test_missing_fundamental():
+    """Harmonics 2..5 only (telephone-style) — SHC recovers the true F0."""
+    sr, f0_true = 16000, 140.0
+    t = np.arange(int(0.5 * sr)) / sr
+    x = sum(0.4 / h * np.sin(2 * np.pi * f0_true * h * t) for h in range(2, 6))
+    f0 = yaapt_f0(x.astype(np.float32), sr)
+    voiced = f0[f0 > 0]
+    assert voiced.size > 0.5 * f0.size
+    # no octave-up error: median near 140, not 280
+    assert abs(np.median(voiced) - f0_true) / f0_true < 0.1
