@@ -1,11 +1,12 @@
 """Benchmark: end-to-end conversion RTF per chip.
 
-Measures the full DISSC conversion compute path on device — dedup ->
-rhythm predict -> carryover -> re-time -> pitch predict -> HiFi-GAN
-vocode (full 512-channel VCTK config) — on a batch of ~10 s utterances,
-and reports real-time-factor per chip (seconds of compute per second of
-generated audio).  Baseline target: RTF < 0.05 on one TPU v5e chip
-(BASELINE.md north star); vs_baseline = 0.05 / measured (>1 is better).
+Measures the FULL DISSC conversion compute path on device — HuBERT-base
+encode + k-means quantise -> dedup -> rhythm predict -> carryover ->
+re-time -> pitch predict -> HiFi-GAN vocode (full 512-channel VCTK
+config) — on a batch of ~10 s utterances, and reports real-time-factor
+per chip (seconds of compute per second of generated audio).  Baseline
+target: RTF < 0.05 on one TPU v5e chip (BASELINE.md north star);
+vs_baseline = 0.05 / measured (>1 is better).
 """
 import json
 import time
@@ -19,6 +20,7 @@ def main():
     from dissc_tpu.core.config import VocoderConfig
     from dissc_tpu.infer.prosody import _convert_batch
     from dissc_tpu.models.hifigan import CodeGenerator
+    from dissc_tpu.models.hubert import HubertConfig, HubertEncoder, kmeans_quantize
     from dissc_tpu.models.prosody import LenPredictor
     from dissc_tpu.train.prosody_trainer import build_pitch_model
 
@@ -28,6 +30,15 @@ def main():
     n_speakers = 107
     B, T = 8, 512  # 8 utterances x 10.24 s (512 frames @ 50 Hz)
     OUT_T = 1024
+    WAV_N = T * 320 + 80  # conv frontend needs a few extra samples for 512 frames
+
+    # full-size HuBERT-base + 100-cluster codebook (random weights: the
+    # compute is identical to the released checkpoint's)
+    hub_cfg = HubertConfig()
+    hubert = HubertEncoder(hub_cfg)
+    hub_params = hubert.init(key, jnp.zeros((1, WAV_N)))["params"]
+    codebook = jnp.asarray(rng.standard_normal((100, hub_cfg.hidden_size))
+                           .astype(np.float32))
 
     # prosody models
     len_model = LenPredictor(n_tokens=100, n_speakers=n_speakers)
@@ -52,18 +63,15 @@ def main():
     voc_params = voc.init(key, code0, f00, spk_b)["params"]
     voc_apply = jax.jit(lambda p, c, f, s: voc.apply({"params": p}, c, f, s))
 
-    # realistic unit sequences (runs of 1-6 frames)
-    seqs = np.zeros((B, T), np.int32)
-    for b in range(B):
-        t = 0
-        while t < T:
-            run = int(rng.integers(1, 6))
-            seqs[b, t : t + run] = int(rng.integers(0, 100))
-            t += run
     lengths = np.full((B,), T, np.int32)
     spk = rng.integers(0, n_speakers, (B, 1)).astype(np.int32)
 
-    def convert(seqs, lengths, spk):
+    encode = jax.jit(
+        lambda p, wav: kmeans_quantize(hubert.apply({"params": p}, wav), codebook)
+    )
+
+    def convert(wavs, lengths, spk):
+        seqs = encode(hub_params, wavs)[:, :T]
         out_seqs, out_lens, f0 = _convert_batch(
             len_model, len_vars, (jnp.float32(4.0), jnp.float32(2.0)),
             pitch_model, pitch_vars, id2mean, id2std,
@@ -73,14 +81,13 @@ def main():
         wav = voc_apply(voc_params, out_seqs, f0[..., None], spk)
         return wav, out_lens
 
-    # distinct inputs per iteration so no dispatch-level caching can
-    # short-circuit the measurement
+    # distinct speech-scale waveform inputs per iteration so no
+    # dispatch-level caching can short-circuit the measurement
     n_iters = 10
     iter_args = []
     for it in range(n_iters + 1):
-        s = seqs.copy()
-        s[:, 0] = (s[:, 0] + it) % 100
-        iter_args.append((jnp.asarray(s), jnp.asarray(lengths), jnp.asarray(spk)))
+        w = (rng.standard_normal((B, WAV_N)) * 0.1).astype(np.float32)
+        iter_args.append((jnp.asarray(w), jnp.asarray(lengths), jnp.asarray(spk)))
 
     wav, out_lens = convert(*iter_args[0])  # compile
     jax.block_until_ready(wav)

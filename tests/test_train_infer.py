@@ -135,6 +135,9 @@ def test_gan_train_step_runs_and_updates():
         "spkr": jnp.zeros((2, 1), jnp.int32),
         "audio": jnp.asarray(rng.uniform(-0.5, 0.5, (2, 1280)).astype(np.float32)),
     }
+    # snapshot to host BEFORE the step: train_step donates the state
+    old_gen = jax.tree_util.tree_map(np.asarray, state.gen_params)
+    old_mpd = jax.tree_util.tree_map(np.asarray, state.mpd_params)
     new_state, metrics = train_step(state, batch)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["loss_gen_total"]))
@@ -142,12 +145,12 @@ def test_gan_train_step_runs_and_updates():
     # both param sets actually moved
     g_delta = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()),
-        jax.tree_util.tree_map(lambda a, b: a - b, new_state.gen_params, state.gen_params),
+        jax.tree_util.tree_map(lambda a, b: np.asarray(a) - b, new_state.gen_params, old_gen),
         0.0,
     )
     d_delta = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()),
-        jax.tree_util.tree_map(lambda a, b: a - b, new_state.mpd_params, state.mpd_params),
+        jax.tree_util.tree_map(lambda a, b: np.asarray(a) - b, new_state.mpd_params, old_mpd),
         0.0,
     )
     assert g_delta > 0 and d_delta > 0
