@@ -21,15 +21,24 @@ from dissc_tpu.models.layers import Conv1d, Conv2d, leaky_relu, same_padding
 
 
 class DiscriminatorP(nn.Module):
-    """Period discriminator: fold waveform to [T/p, p] and run 2D convs.
+    """Period discriminator: fold waveform to [T/p, p] and convolve along
+    the T/p axis (reference ``sr/models.py:228-260``).
 
-    Reference ``sr/models.py:228-260``.
+    TPU layout: the reference's (k, 1)-kernel Conv2d never mixes the
+    period axis, so it is mathematically a batch of 1D convs — we fold
+    the period into the batch dim ([B, T/p, p, C] -> [B*p, T/p, C]) and
+    run Conv1d, which fills the MXU's 128 lanes with the channel dim
+    instead of wasting them on a width of 2..11.  Params stay in the 2D
+    (kh, 1, in, out) shape so reference checkpoints import unchanged;
+    ``fold_to_batch=False`` keeps the literal 2D path (numerics are
+    identical — tested).
     """
 
     period: int
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False
+    fold_to_batch: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,21 +51,34 @@ class DiscriminatorP(nn.Module):
             t = t + n_pad
         x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
 
+        if self.fold_to_batch:
+            # [B, H, p, C] -> [B*p, H, C]
+            x = x.transpose(0, 2, 1, 3).reshape(b * self.period, t // self.period, 1)
+
+        def conv(z, ch, k, s, p, name):
+            # rank-3 input takes Conv2d's 1D fast path; params stay 2D-shaped
+            return Conv2d(ch, (k, 1), strides=(s, 1), padding=(p, 0), norm=norm,
+                          name=name)(z, train)
+
         fmap = []
         pad = same_padding(5, 1)
         for i, ch in enumerate([32, 128, 512, 1024]):
-            x = Conv2d(ch, (self.kernel_size, 1), strides=(self.stride, 1),
-                       padding=(pad, 0), norm=norm, name=f"convs_{i}")(x, train)
+            x = conv(x, ch, self.kernel_size, self.stride, pad, f"convs_{i}")
             x = leaky_relu(x)
-            fmap.append(x)
-        x = Conv2d(1024, (self.kernel_size, 1), strides=(1, 1), padding=(2, 0),
-                   norm=norm, name="convs_4")(x, train)
+            fmap.append(self._unfold(x, b) if self.fold_to_batch else x)
+        x = conv(x, 1024, self.kernel_size, 1, 2, "convs_4")
         x = leaky_relu(x)
-        fmap.append(x)
-        x = Conv2d(1, (3, 1), strides=(1, 1), padding=(1, 0), norm=norm,
-                   name="conv_post")(x, train)
-        fmap.append(x)
+        fmap.append(self._unfold(x, b) if self.fold_to_batch else x)
+        x = conv(x, 1, 3, 1, 1, "conv_post")
+        fmap.append(self._unfold(x, b) if self.fold_to_batch else x)
+        if self.fold_to_batch:
+            x = self._unfold(x, b)
         return x.reshape(b, -1), fmap
+
+    def _unfold(self, z, b):
+        # [B*p, H, C] -> [B, H, p, C] (the reference's NHWC fmap layout)
+        bp, h, c = z.shape
+        return z.reshape(b, self.period, h, c).transpose(0, 2, 1, 3)
 
 
 class MultiPeriodDiscriminator(nn.Module):

@@ -267,13 +267,26 @@ class Conv2d(nn.Module):
         else:
             kernel = self.param("kernel", kinit, k_shape)
 
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=self.strides,
-            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if x.ndim == 3:
+            # rank-3 fast path: a (kh, 1) kernel applied to [N, H, C] is a
+            # 1D conv — keeps H in sublanes / C in lanes with no W padding
+            assert kw == 1 and self.padding[1] == 0 and self.strides[1] == 1
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel[:, 0, :, :],
+                window_strides=(self.strides[0],),
+                padding=[(self.padding[0], self.padding[0])],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=self.strides,
+                padding=[(self.padding[0], self.padding[0]),
+                         (self.padding[1], self.padding[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(fan_in), (self.features,))
             y = y + bias

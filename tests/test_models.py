@@ -127,3 +127,19 @@ def test_msd_spectral_norm_state_updates():
     u_old = jax.tree_util.tree_leaves(variables["spectral"])[0]
     u_new = jax.tree_util.tree_leaves(new_state["spectral"])[0]
     assert not np.allclose(np.asarray(u_old), np.asarray(u_new))
+
+
+def test_mpd_folded_matches_2d_path(rng):
+    """DiscriminatorP's batch-folded 1D layout == the literal 2D conv path."""
+    from dissc_tpu.models.discriminators import DiscriminatorP
+
+    y = jnp.asarray(rng.standard_normal((2, 1337)).astype(np.float32) * 0.3)
+    d2d = DiscriminatorP(period=3, fold_to_batch=False)
+    d1d = DiscriminatorP(period=3, fold_to_batch=True)
+    variables = d2d.init(jax.random.key(0), y)
+    s2, f2 = d2d.apply(variables, y)
+    s1, f1 = d1d.apply(variables, y)  # same param tree
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-5)
+    assert len(f1) == len(f2)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
