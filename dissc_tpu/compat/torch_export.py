@@ -84,3 +84,55 @@ def save_torch_checkpoint(path: str, obj: Dict[str, Any]) -> None:
 
         with open(path, "wb") as f:
             pickle.dump(obj, f)
+
+
+def _plain_conv1d_out(tree) -> Dict[str, np.ndarray]:
+    out = {"weight": _np(tree["kernel"]).transpose(2, 1, 0)}  # (k,in,out)->(out,in,k)
+    if "bias" in tree:
+        out["bias"] = _np(tree["bias"])
+    return out
+
+
+def export_len_predictor(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our LenPredictor {params, batch_stats} -> reference state_dict layout."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {
+        "token_emb.weight": _np(params["token_emb"]["embedding"]),
+        "spk_emb.weight": _np(params["spk_emb"]["embedding"]),
+    }
+    convs = ["cnn1"] + [f"cnn1{i}" for i in range(1, 7)] + ["cnn2"]
+    for c in convs:
+        for k, v in _plain_conv1d_out(params[c]).items():
+            sd[f"{c}.{k}"] = v
+    for bn in ["bn1"] + [f"bn1{i}" for i in range(1, 7)]:
+        sd[f"{bn}.weight"] = _np(params[bn]["BatchNorm_0"]["scale"])
+        sd[f"{bn}.bias"] = _np(params[bn]["BatchNorm_0"]["bias"])
+        sd[f"{bn}.running_mean"] = _np(stats[bn]["BatchNorm_0"]["mean"])
+        sd[f"{bn}.running_var"] = _np(stats[bn]["BatchNorm_0"]["var"])
+    return sd
+
+
+def export_pitch_predictor(variables: Dict[str, Any],
+                           model_type: str = "new") -> Dict[str, np.ndarray]:
+    """Our Pitch{Predictor,PredictorBase} tree -> reference state_dict layout."""
+    params = variables["params"]["core"]
+    stats = variables["batch_stats"]["core"]
+    sd: Dict[str, np.ndarray] = {
+        "token_emb.weight": _np(params["token_emb"]["embedding"]),
+        "spk_emb.weight": _np(params["spk_emb"]["embedding"]),
+    }
+    convs = (["cnn1"] + [f"cnn1{i}" for i in range(1, 8)]
+             + ["cnn2", "cnn_class1", "cnn_class2", "cnn_reg1", "cnn_reg2"])
+    for c in convs:
+        for k, v in _plain_conv1d_out(params[c]).items():
+            sd[f"{c}.{k}"] = v
+    bns = ([f"bn1{i}" for i in range(1, 8)] + ["bn1", "bn_c1", "bn_r1"]
+           if model_type == "base" else ["bn2"])
+    for bn in bns:
+        if bn not in params:
+            continue
+        sd[f"{bn}.weight"] = _np(params[bn]["BatchNorm_0"]["scale"])
+        sd[f"{bn}.bias"] = _np(params[bn]["BatchNorm_0"]["bias"])
+        sd[f"{bn}.running_mean"] = _np(stats[bn]["BatchNorm_0"]["mean"])
+        sd[f"{bn}.running_var"] = _np(stats[bn]["BatchNorm_0"]["var"])
+    return sd

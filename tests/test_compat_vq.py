@@ -192,3 +192,34 @@ def test_export_import_roundtrip(rng):
     ):
         assert ka == kb
         np.testing.assert_allclose(np.asarray(va), vb, atol=1e-7, err_msg=str(ka))
+
+
+def test_prosody_export_import_roundtrip(rng):
+    import jax
+
+    from dissc_tpu.compat.torch_export import export_len_predictor, export_pitch_predictor
+    from dissc_tpu.models.prosody import LenPredictor, PitchPredictor
+    from dissc_tpu.compat.torch_import import import_len_predictor, import_pitch_predictor
+    import flax
+
+    lm = LenPredictor(n_tokens=100, n_speakers=4)
+    v = lm.init(jax.random.key(1), jnp.zeros((1, 4), jnp.int32),
+                jnp.zeros((1, 1), jnp.int32), (0.0, 1.0))
+    back = import_len_predictor(export_len_predictor(v))
+    for (ka, va), (kb, vb) in zip(
+        sorted(flax.traverse_util.flatten_dict(v["params"]).items()),
+        sorted(flax.traverse_util.flatten_dict(back["params"]).items()),
+    ):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(va), vb, atol=1e-7)
+
+    pm = PitchPredictor(n_tokens=100, n_speakers=4)
+    v = pm.init(jax.random.key(2), jnp.zeros((1, 4), jnp.int32),
+                jnp.zeros((1, 1), jnp.int32))
+    back = import_pitch_predictor(export_pitch_predictor(v, "new"), "new")
+    for (ka, va), (kb, vb) in zip(
+        sorted(flax.traverse_util.flatten_dict(v["params"]).items()),
+        sorted(flax.traverse_util.flatten_dict(back["params"]).items()),
+    ):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(va), vb, atol=1e-7)
