@@ -49,6 +49,7 @@ def main(argv=None):
         code_file=args.code_file,
         unseen_f0_path=str(args.unseen_f0) if args.unseen_f0 else None,
         sample_df_path=str(args.sample_df) if args.sample_df else None,
+        parts=args.parts,
     )
     print(f"\nmean RTF: {rtf:.4f}")
 

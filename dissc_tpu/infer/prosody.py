@@ -198,7 +198,10 @@ class ProsodyConverter:
                 )
                 out_seqs, out_lens, f0 = map(np.asarray, (out_seqs, out_lens, f0))
                 for j, i in enumerate(chunk):
-                    L = int(out_lens[j])
+                    # out_cap = expand_factor * in_cap; predicted totals beyond
+                    # it are clamped (rhythm conversion stays ~length-preserving,
+                    # so the 2x margin is never hit in practice)
+                    L = min(int(out_lens[j]), out_cap)
                     units = out_seqs[j, :L].tolist()
                     if self.pitch_model is not None:
                         f0_list = f0[j, :L].astype(float).tolist()

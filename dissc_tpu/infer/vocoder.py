@@ -160,6 +160,7 @@ def run_inference(
     code_file: Optional[str] = None,
     unseen_f0_path: Optional[str] = None,
     sample_df_path: Optional[str] = None,
+    parts: bool = False,
 ) -> float:
     """File-level driver mirroring the reference CLI flow.  Returns mean RTF."""
     engine = VocoderEngine.from_checkpoint(checkpoint_file)
@@ -216,7 +217,12 @@ def run_inference(
     for i in range(n_items):
         feats = dataset[i]
         items.append(feats)
-        names.append(Path(feats["filename"]).stem)
+        if parts:
+            # join the last 3 path parts (reference ``sr/inference.py:180-182``)
+            p = Path(feats["filename"]).parts
+            names.append("_".join(p[-3:])[:-4])
+        else:
+            names.append(Path(feats["filename"]).stem)
         gts.append(feats["audio"])
 
     rtfs = []
