@@ -280,10 +280,35 @@ def train_vocoder(
             },
         )
 
+    def prefetched(it, depth: int = 2):
+        """Host-side batch prefetch: decode/crop the next batches on a
+        worker thread while the device runs the current step (the
+        reference's DataLoader workers, minus the processes)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def worker():
+            for item in it:
+                q.put(item)
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
     steps = int(state.step)
     for epoch in range(max(0, last_epoch), training_epochs):
         start = time.time()
-        for batch in ds_train.batches(h.batch_size, shuffle=True, seed=h.seed + epoch):
+        for batch in prefetched(
+            ds_train.batches(h.batch_size, shuffle=True, seed=h.seed + epoch)
+        ):
             if steps >= training_steps:
                 save_all(epoch)
                 return state
