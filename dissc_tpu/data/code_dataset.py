@@ -90,8 +90,14 @@ class CodeDataset:
         eval_mode: bool = False,
         unseen_speakers: bool = False,
         seed: int = 1234,
+        cache_audio: bool = False,
     ):
+        """``cache_audio``: keep decoded+normalised waveforms in RAM after
+        first access (the reference's ``n_cache_reuse`` served a similar
+        role per-worker; a whole VCTK fits in a few GB at 16 kHz f32)."""
         self.audio_files, self.codes, self.pitch = files
+        self.cache_audio = cache_audio
+        self._audio_cache: Dict[int, np.ndarray] = {}
         self.segment_size = segment_size
         self.code_hop_size = code_hop_size
         self.sampling_rate = sampling_rate
@@ -146,7 +152,12 @@ class CodeDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         filename = self.audio_files[index]
-        audio = self._load_audio(filename)
+        if self.cache_audio and index in self._audio_cache:
+            audio = self._audio_cache[index]
+        else:
+            audio = self._load_audio(filename)
+            if self.cache_audio:
+                self._audio_cache[index] = audio
 
         code_length = min(audio.shape[0] // self.code_hop_size, self.codes[index].shape[0])
         code = self.codes[index]
