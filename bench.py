@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dissc_tpu.core.config import VocoderConfig
     from dissc_tpu.infer.prosody import _convert_batch
     from dissc_tpu.models.hifigan import CodeGenerator

@@ -26,6 +26,9 @@ def load_encoder(weights_path: str, codebook_path: str):
 
 
 def main(argv=None):
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_name", default="hubert-base-ls960",
                         help="dense model name (informational)")

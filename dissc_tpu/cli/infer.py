@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     assert args.pred_len | args.pred_pitch, \
         "Inference must at least convert pitch or rhythm (or both)"

@@ -11,6 +11,9 @@ from dissc_tpu.infer.vocoder import run_inference
 
 
 def main(argv=None):
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--code_file", default=None)
     parser.add_argument("--input_code_file", default="data/wild/pred_hubert/p239_encoded.txt")

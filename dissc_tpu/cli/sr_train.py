@@ -8,6 +8,9 @@ from dissc_tpu.train.vocoder_trainer import train_vocoder
 
 
 def main(argv=None):
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint_path", default="checkpoints/vctk_vocoder")
     parser.add_argument("--config", default="configs/VCTK/hubert100_lut.json")

@@ -8,6 +8,9 @@ from dissc_tpu.train.prosody_trainer import train_len_predictor
 
 
 def main(argv=None):
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--out_path", default="checkpoints/esd")
     parser.add_argument("--data_path", default="data/ESD/hubert100")

@@ -9,4 +9,5 @@ from dissc_tpu.train.checkpoints import (
     scan_checkpoint,
 )
 from dissc_tpu.train.logging import MetricLogger, init_loggers, log_metrics
+from dissc_tpu.utils.cache import enable_compilation_cache
 from dissc_tpu.utils.profiling import RTFMeter, trace_if_enabled
