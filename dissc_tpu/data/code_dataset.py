@@ -177,10 +177,15 @@ class CodeDataset:
 
         if self.eval_mode:
             feats_audio = audio.astype(np.float32)
-        else:
+        elif pitch.shape[0]:
             audio_c, code, pitch = self._sample_interval(
                 [audio[None, :], code, pitch]
             )
+            feats_audio = audio_c[0].astype(np.float32)
+        else:
+            # no manifest pitch: crop (audio, code) only; the YAAPT fallback
+            # below computes f0 on the crop (reference sr/dataset.py:280-289)
+            audio_c, code = self._sample_interval([audio[None, :], code])
             feats_audio = audio_c[0].astype(np.float32)
 
         feats: Dict[str, np.ndarray] = {"code": code.astype(np.int32)}
@@ -235,7 +240,10 @@ class CodeDataset:
         """
         from dissc_tpu.data.native_loader import load_crops, native_available, wav_info
 
-        native = use_native and native_available() and self.pad is None
+        # cache_audio routes through __getitem__ (the RAM cache IS the fast
+        # path once warm); the native threaded loader covers the uncached case
+        native = (use_native and native_available() and self.pad is None
+                  and not self.cache_audio)
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -243,12 +251,14 @@ class CodeDataset:
             idxs = order[start : start + batch_size]
             if not native:
                 items = [self[i] for i in idxs]
-                yield {
+                batch = {
                     "code": np.stack([it["code"] for it in items]),
-                    "f0": np.stack([it["f0"] for it in items]),
                     "spkr": np.stack([it["spkr"] for it in items]),
                     "audio": np.stack([it["audio"] for it in items]),
                 }
+                if self.f0:
+                    batch["f0"] = np.stack([it["f0"] for it in items])
+                yield batch
                 continue
             yield self._native_batch(idxs, wav_info, load_crops)
 
@@ -258,6 +268,7 @@ class CodeDataset:
         paths, starts, eff_lens = [], [], []
         codes, f0s, spkrs = [], [], []
         fallback_audio = {}
+        yaapt_rows = []  # rows needing F0 computed from the crop (no manifest pitch)
         for j, i in enumerate(idxs):
             path = str(self.audio_files[i])
             sr, n = wav_info(path)
@@ -268,7 +279,7 @@ class CodeDataset:
                 starts.append(0)
                 eff_lens.append(-1)
                 codes.append(it["code"])
-                f0s.append(it["f0"])
+                f0s.append(it.get("f0"))
                 spkrs.append(it["spkr"])
                 fallback_audio[j] = it["audio"]
                 continue
@@ -291,8 +302,14 @@ class CodeDataset:
             starts.append(start_step * self.code_hop_size)
             eff_lens.append(eff)
             codes.append(code[start_step : start_step + seg_frames].astype(np.int32))
-            f0s.append(pitch[start_step : start_step + seg_frames]
-                       .reshape(-1, 1).astype(np.float32))
+            if self.f0 and pitch.shape[0] == 0:
+                # no manifest pitch: compute YAAPT on the crop once loaded,
+                # mirroring __getitem__'s fallback (reference sr/dataset.py:280-289)
+                yaapt_rows.append(j)
+                f0s.append(None)
+            else:
+                f0s.append(pitch[start_step : start_step + seg_frames]
+                           .reshape(-1, 1).astype(np.float32))
             spkr_name = parse_speaker(self.audio_files[i], self.multispkr)
             spkrs.append(np.array(
                 [0 if self.unseen_speakers else self.spkr_to_id[spkr_name]], np.int32))
@@ -307,15 +324,27 @@ class CodeDataset:
                                [eff_lens[j] for j in native_rows])
             for k, j in enumerate(native_rows):
                 audio[j] = crops[k]
-        if self.f0_normalize:
+        for j in yaapt_rows:
+            try:
+                from dissc_tpu.audio.yaapt import yaapt_f0
+
+                f0s[j] = (yaapt_f0(audio[j], self.sampling_rate)
+                          .reshape(-1, 1).astype(np.float32))
+            except Exception:
+                f0s[j] = np.zeros((seg // 80, 1), np.float32)
+        if not self.f0:
+            f0s = [None] * len(idxs)
+        elif self.f0_normalize:
             for j in range(len(idxs)):
                 f0s[j] = self._normalize_f0(f0s[j], self.audio_files[idxs[j]])
-        return {
+        batch = {
             "code": np.stack(codes),
-            "f0": np.stack(f0s),
             "spkr": np.stack(spkrs),
             "audio": audio,
         }
+        if self.f0:
+            batch["f0"] = np.stack(f0s)
+        return batch
 
     def _normalize_f0(self, f0: np.ndarray, filename) -> np.ndarray:
         spkr_name = parse_speaker(filename, self.multispkr)

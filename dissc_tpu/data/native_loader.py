@@ -107,10 +107,24 @@ def load_crops(paths: Sequence[str], starts: Sequence[int], crop_len: int,
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         c_starts = (ctypes.c_long * n)(*[int(s) for s in starts])
         c_lens = (ctypes.c_long * n)(*[int(v) for v in eff])
-        lib.wav_load_crops(
+        n_failed = lib.wav_load_crops(
             c_paths, n, c_starts, c_lens, crop_len,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
         )
+        if n_failed:
+            # the C++ side zero-fills failed rows; identify and report them
+            # instead of silently training on silence
+            bad = []
+            for p in paths:
+                try:
+                    if not os.path.exists(p) or wav_info(p)[1] <= 0:
+                        bad.append(p)
+                except Exception:
+                    bad.append(p)
+            raise IOError(
+                f"native crop loader: {n_failed}/{n} wav files failed to "
+                f"decode (unreadable or non-PCM16): {bad[:8]}"
+            )
         return out
     for i, (p, s) in enumerate(zip(paths, starts)):
         wav, _ = load_normalized(p)

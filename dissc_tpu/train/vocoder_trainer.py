@@ -82,8 +82,13 @@ def init_gan_state(h: VocoderConfig, rng, seg_frames: Optional[int] = None,
     mpd_vars = mpd.init(k2, y, y)
     msd_vars = msd.init(k3, y, y)
 
-    gen_tx = gen_tx or optax.adamw(h.learning_rate, b1=h.adam_b1, b2=h.adam_b2)
-    disc_tx = disc_tx or optax.adamw(h.learning_rate, b1=h.adam_b1, b2=h.adam_b2)
+    # weight_decay=0.01 matches torch.optim.AdamW's default used by the
+    # reference (sr/train.py:81-82); optax's default of 1e-4 would make
+    # regularization 100x weaker.
+    gen_tx = gen_tx or optax.adamw(h.learning_rate, b1=h.adam_b1, b2=h.adam_b2,
+                                   weight_decay=0.01)
+    disc_tx = disc_tx or optax.adamw(h.learning_rate, b1=h.adam_b1, b2=h.adam_b2,
+                                     weight_decay=0.01)
     disc_params = {"mpd": mpd_vars["params"], "msd": msd_vars["params"]}
     state = GANState(
         gen_params=gen_vars["params"],
@@ -109,7 +114,10 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
     # config) update in place instead of being copied every step
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GANState, batch: Dict[str, jax.Array]):
-        code, f0, spkr, y = batch["code"], batch["f0"], batch["spkr"], batch["audio"]
+        # f0 is optional: f0=False configs train without it (reference
+        # sr/models.py builds the LUT-only input in that case)
+        code, f0, spkr, y = (batch["code"], batch.get("f0"), batch["spkr"],
+                             batch["audio"])
 
         # ---- generator forward, VJP captured for the later G backward
         y_g_hat, gen_vjp = jax.vjp(
@@ -141,15 +149,21 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
         def g_loss_from_wave(y_hat):
             y_hat_mel = mel_spectrogram(y_hat, **mel_kw)
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * 45.0
-            _, p_gs, p_fr, p_fg = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
-            _, s_gs, s_fr, s_fg = msd.apply(
-                {"params": disc_params["msd"], "spectral": new_spectral}, y, y_hat
+            _, p_gs, p_fr, p_fg = mpd.apply({"params": disc_params["mpd"]}, y, y_hat,
+                                            True)
+            # train=True + mutable: the MSD spectral-norm power iteration
+            # advances in the G forward too, exactly like the reference
+            # (sr/train.py:180-181 runs msd in train mode a second time)
+            (_, s_gs, s_fr, s_fg), g_spec = msd.apply(
+                {"params": disc_params["msd"], "spectral": new_spectral}, y, y_hat,
+                True, mutable=["spectral"],
             )
             loss_fm = feature_loss(p_fr, p_fg) + feature_loss(s_fr, s_fg)
             loss_adv = generator_loss(p_gs)[0] + generator_loss(s_gs)[0]
-            return loss_adv + loss_fm + loss_mel, (loss_mel, loss_fm, loss_adv)
+            return loss_adv + loss_fm + loss_mel, (
+                loss_mel, loss_fm, loss_adv, g_spec["spectral"])
 
-        (g_loss, (loss_mel, loss_fm, loss_adv)), dy = jax.value_and_grad(
+        (g_loss, (loss_mel, loss_fm, loss_adv, final_spectral)), dy = jax.value_and_grad(
             g_loss_from_wave, has_aux=True
         )(y_g_hat)
         (g_grads,) = gen_vjp(dy)
@@ -160,7 +174,7 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
             gen_params=gen_params,
             mpd_params=disc_params["mpd"],
             msd_params=disc_params["msd"],
-            msd_spectral=new_spectral,
+            msd_spectral=final_spectral,
             gen_opt=gen_opt,
             disc_opt=disc_opt,
             step=state.step + 1,
@@ -177,8 +191,8 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
 
     @jax.jit
     def val_step(state: GANState, batch: Dict[str, jax.Array]):
-        y_g_hat = gen.apply({"params": state.gen_params}, batch["code"], batch["f0"],
-                            batch["spkr"])
+        y_g_hat = gen.apply({"params": state.gen_params}, batch["code"],
+                            batch.get("f0"), batch["spkr"])
         y_mel = mel_spectrogram(batch["audio"], **mel_kw)
         y_hat_mel = mel_spectrogram(y_g_hat, **mel_kw)
         return jnp.mean(jnp.abs(y_mel - y_hat_mel)), y_g_hat
@@ -229,8 +243,11 @@ def train_vocoder(
         h.learning_rate, transition_steps=steps_per_epoch, decay_rate=h.lr_decay,
         staircase=True,
     )
-    gen_tx = optax.adamw(lr_schedule, b1=h.adam_b1, b2=h.adam_b2)
-    disc_tx = optax.adamw(lr_schedule, b1=h.adam_b1, b2=h.adam_b2)
+    # torch AdamW default weight_decay (reference sr/train.py:81-82)
+    gen_tx = optax.adamw(lr_schedule, b1=h.adam_b1, b2=h.adam_b2,
+                         weight_decay=0.01)
+    disc_tx = optax.adamw(lr_schedule, b1=h.adam_b1, b2=h.adam_b2,
+                          weight_decay=0.01)
 
     state, gen_tx, disc_tx = init_gan_state(
         h, jax.random.key(h.seed), seg_frames, gen_tx, disc_tx

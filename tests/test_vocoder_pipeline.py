@@ -64,6 +64,71 @@ def test_code_dataset_native_and_python_paths_agree(corpus):
     np.testing.assert_allclose(batch_native["audio"], batch_python["audio"], atol=1e-5)
 
 
+def test_code_dataset_f0_false_omits_key(corpus):
+    from dissc_tpu.data.code_dataset import CodeDataset, get_dataset_filelist
+
+    h = _tiny_config(corpus)
+    files, _ = get_dataset_filelist(h)
+    for use_native in (True, False):
+        ds = CodeDataset(files, h.segment_size, h.code_hop_size,
+                         h.sampling_rate, f0=False, seed=7)
+        batch = next(ds.batches(2, shuffle=False, use_native=use_native))
+        assert "f0" not in batch, f"use_native={use_native}"
+        assert batch["code"].shape[0] == 2
+
+
+def test_code_dataset_yaapt_fallback_native_matches_python(tmp_path):
+    # records WITHOUT manifest f0 but f0=True -> YAAPT computed on the crop
+    # on both paths (reference sr/dataset.py:280-289)
+    import json as _json
+
+    from dissc_tpu.data.code_dataset import CodeDataset, get_dataset_filelist
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(3)
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    records = []
+    for i in range(2):
+        n_frames = 12
+        t = np.arange(n_frames * 320) / 16000.0
+        wav = (0.4 * np.sin(2 * np.pi * 140.0 * t)).astype(np.float32)
+        name = f"p1_{i:03d}.wav"
+        write_wav(os.path.join(root, "wav", name), wav, 16000)
+        records.append({"units": rng.integers(0, 100, n_frames).tolist(),
+                        "audio": name})
+    for split in ("train", "val"):
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            for r in records:
+                f.write(_json.dumps(r) + "\n")
+    h = _tiny_config(root)
+    files, _ = get_dataset_filelist(h)
+    ds_a = CodeDataset(files, h.segment_size, h.code_hop_size, h.sampling_rate,
+                       f0=True, seed=7)
+    ds_b = CodeDataset(files, h.segment_size, h.code_hop_size, h.sampling_rate,
+                       f0=True, seed=7)
+    bn = next(ds_a.batches(2, shuffle=False, use_native=True))
+    bp = next(ds_b.batches(2, shuffle=False, use_native=False))
+    assert bn["f0"].shape == bp["f0"].shape
+    np.testing.assert_allclose(bn["f0"], bp["f0"], atol=1e-4)
+    # the sine should be tracked as voiced around 140 Hz on at least some frames
+    voiced = bn["f0"][bn["f0"] > 0]
+    assert voiced.size > 0 and abs(np.median(voiced) - 140.0) < 20.0
+
+
+def test_native_loader_reports_unreadable_files(tmp_path):
+    from dissc_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native loader unavailable")
+    good = str(tmp_path / "ok.wav")
+    write_wav(good, np.zeros(1600, np.float32), 16000)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not a wav at all")
+    with pytest.raises(IOError, match="failed to decode"):
+        native_loader.load_crops([good, bad], [0, 0], 800)
+
+
 def test_train_vocoder_checkpoints_and_resume(corpus, tmp_path):
     from dissc_tpu.train.checkpoints import scan_checkpoint
     from dissc_tpu.train.vocoder_trainer import train_vocoder
