@@ -24,7 +24,11 @@ import numpy as np
 
 
 def _np(x) -> np.ndarray:
-    return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+    # copy, not view: torch .numpy() aliases the tensor's memory, so an
+    # in-place torch update (optimizer step, power iteration) would
+    # silently mutate the imported tree
+    return (x.detach().cpu().numpy().copy() if hasattr(x, "detach")
+            else np.asarray(x))
 
 
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
@@ -107,6 +111,60 @@ def import_vocoder_checkpoint(path: str, h) -> Dict[str, Any]:
     obj = load_torch_state_dict(path)
     sd = obj["generator"] if "generator" in obj else obj
     return {"generator": import_code_generator(sd, h)}
+
+
+def _sn_conv1d(sd, prefix):
+    """torch spectral-norm Conv1d -> {kernel, bias} params + u state.
+
+    torch stores ``weight_orig`` [out, in, k] plus power-iteration
+    buffers ``weight_u`` [out] / ``weight_v`` [in*k].  Our layout keeps
+    the raw kernel (k, in, out) and re-derives v from u each forward, so
+    only u needs importing (sigma is invariant to the (in,k) column
+    permutation between the two flattenings).
+    """
+    w = _np(sd[f"{prefix}.weight_orig"])
+    out = {"kernel": w.transpose(2, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out, {"u": _np(sd[f"{prefix}.weight_u"])}
+
+
+def import_mpd(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference ``MultiPeriodDiscriminator.state_dict()`` -> our params.
+
+    Reference module layout: ``discriminators.{i}.convs.{j}`` (5 weight-
+    norm Conv2d) + ``conv_post`` (``sr/models.py:228-282``).
+    """
+    params: Dict[str, Any] = {}
+    for i in range(5):
+        d: Dict[str, Any] = {}
+        for j in range(5):
+            d[f"convs_{j}"] = _wn_conv2d(sd, f"discriminators.{i}.convs.{j}")
+        d["conv_post"] = _wn_conv2d(sd, f"discriminators.{i}.conv_post")
+        params[f"disc_{i}"] = d
+    return params
+
+
+def import_msd(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference ``MultiScaleDiscriminator.state_dict()`` -> our
+    {'params', 'spectral'} trees (``sr/models.py:285-333``: scale 0 is
+    spectral-normed, scales 1-2 weight-normed)."""
+    params: Dict[str, Any] = {}
+    spectral: Dict[str, Any] = {}
+    for i in range(3):
+        d: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        for name, prefix in ([(f"convs_{j}", f"discriminators.{i}.convs.{j}")
+                              for j in range(7)]
+                             + [("conv_post", f"discriminators.{i}.conv_post")]):
+            if f"{prefix}.weight_orig" in sd:
+                d[name], s[name] = _sn_conv1d(sd, prefix)
+            else:
+                d[name] = _wn_conv1d(sd, prefix)
+        params[f"disc_{i}"] = d
+        if s:
+            spectral[f"disc_{i}"] = s
+    return {"params": params, "spectral": spectral}
 
 
 def import_len_predictor(sd: Dict[str, Any]) -> Dict[str, Any]:

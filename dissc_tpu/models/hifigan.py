@@ -115,7 +115,11 @@ class Generator(nn.Module):
                                  name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
-        x = leaky_relu(x)
+        # slope 0.01, not LRELU_SLOPE: the reference's final activation is
+        # `F.leaky_relu(x)` with the torch default (sr/models.py:110 omits
+        # the slope argument — an upstream hifi-gan quirk that is
+        # numerically load-bearing; verified by test_reference_model_parity)
+        x = leaky_relu(x, 0.01)
         # the waveform head always runs f32: bf16 rounding on the output
         # samples would cost ~8 bits of audio SNR for negligible speed
         x = Conv1d(1, 7, padding=3, norm="weight", kernel_init=hifigan_init(),
