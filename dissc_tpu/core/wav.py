@@ -47,6 +47,18 @@ def read_wav(path: str, dtype: str = "int16") -> Tuple[np.ndarray, int]:
     return (data.astype(np.float64) / scale).astype(np.float32), sr
 
 
+def read_audio(path: str, dtype: str = "int16") -> Tuple[np.ndarray, int]:
+    """Format-dispatching read: WAV via :func:`read_wav`, FLAC via the
+    native decoder (``native/flacdec.cc``) — covering everything the
+    reference reads through soundfile/torchaudio (VCTK gt is FLAC,
+    ``scripts/convert_eval.py:129``)."""
+    if path.lower().endswith(".flac"):
+        from dissc_tpu.data.flac_native import read_flac
+
+        return read_flac(path, dtype=dtype)
+    return read_wav(path, dtype=dtype)
+
+
 def write_wav(path: str, data: np.ndarray, sr: int) -> None:
     """Write mono 16-bit PCM WAV.  Float input is assumed to be in [-1, 1]."""
     data = np.asarray(data).squeeze()

@@ -37,11 +37,11 @@ def compute_eer(positive_scores: np.ndarray, negative_scores: np.ndarray) -> Tup
 
 def cosine_scorer(embed: Callable[[np.ndarray], np.ndarray]) -> Callable[[str, str], float]:
     """Build a file-pair scorer from an embedding function."""
-    from dissc_tpu.core.wav import read_wav
+    from dissc_tpu.core.wav import read_audio
 
     def score(path_a: str, path_b: str) -> float:
-        ea = embed(read_wav(path_a, dtype="float32")[0])
-        eb = embed(read_wav(path_b, dtype="float32")[0])
+        ea = embed(read_audio(path_a, dtype="float32")[0])
+        eb = embed(read_audio(path_b, dtype="float32")[0])
         return float(np.dot(ea, eb) / (np.linalg.norm(ea) * np.linalg.norm(eb) + 1e-9))
 
     return score
