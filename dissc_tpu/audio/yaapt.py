@@ -142,23 +142,26 @@ def _candidates(nccf: jnp.ndarray, sr: int, min_lag: int, max_lag: int):
 
 @jax.jit
 def _viterbi(f0_cands: jnp.ndarray, merits: jnp.ndarray, energy: jnp.ndarray,
-             spec_f0: jnp.ndarray, spec_strength: jnp.ndarray):
+             spec_f0: jnp.ndarray, spec_strength: jnp.ndarray,
+             voicing_score: jnp.ndarray):
     """DP over [K voiced candidates + 1 unvoiced state] per frame.
 
     Costs: emission = 1 - merit plus an octave-distance penalty to the
     spectral (SHC) pitch estimate when that estimate is confident —
     YAAPT's combination of temporal and spectral channels; unvoiced
-    emission keyed to the NCCF threshold, frame energy and SHC
-    confidence; transition = octave distance between voiced states,
-    fixed cost for voicing flips.  Returns the best path's f0 (0 =
-    unvoiced).
+    emission keyed to the per-frame ``voicing_score`` (original-path
+    NCCF merit + in-band energy ratio — calibrated on real speech, see
+    tests/test_yaapt_real_speech.py) and frame energy; transition =
+    octave distance between voiced states, fixed cost for voicing
+    flips.  Returns the best path's f0 (0 = unvoiced).
     """
     F, K = f0_cands.shape
     VOICING_COST = 0.35
     TRANS_W = 0.6
     SPEC_W = 0.25
+    UV_ALPHA = 0.8   # slope of the unvoiced emission in the score
+    UV_T = 1.05      # voicing-score operating point (see module tests)
 
-    best_merit = jnp.max(merits, axis=-1)
     energy_db = 10.0 * jnp.log10(energy + 1e-10)
     silent = energy_db < (jnp.max(energy_db) - 35.0)
 
@@ -175,12 +178,9 @@ def _viterbi(f0_cands: jnp.ndarray, merits: jnp.ndarray, energy: jnp.ndarray,
     spec_gate = spec_valid.astype(jnp.float32) * spec_strength
     voiced_cost = voiced_cost + SPEC_W * spec_gate[:, None] * jnp.minimum(spec_dist, 2.0)
 
-    weak_spectral = ~spec_valid
-    unvoiced_cost = jnp.where(
-        ((best_merit < NCCF_THRESH) & weak_spectral) | silent,
-        0.0,
-        best_merit - NCCF_THRESH + 0.12,
-    )
+    # a confident matching spectral channel is voicing evidence too
+    score = voicing_score + 0.15 * spec_gate
+    unvoiced_cost = jnp.where(silent, -0.5, UV_ALPHA * (score - UV_T))
     emis = jnp.concatenate([voiced_cost, unvoiced_cost[:, None]], axis=-1)  # [F, K+1]
 
     log_f0 = jnp.log2(jnp.maximum(f0_cands, 1.0))  # [F, K]
@@ -263,6 +263,16 @@ def yaapt_f0(
     frames = _frames(jnp.asarray(xf), frame_len, hop, n_frames)
     energy = jnp.sum(frames * frames, axis=-1)
 
+    # voicing evidence: original-path NCCF merit (the nonlinear path's
+    # spurious envelope periodicity on fricatives must not vote here)
+    # plus the in-band (50-1500 Hz) to full-band energy ratio — voiced
+    # speech concentrates energy in-band, fricatives above it
+    merit_orig = jnp.max(nccf_a, axis=-1)
+    frames_raw = _frames(jnp.asarray(x), frame_len, hop, n_frames)
+    e_full = jnp.sum(frames_raw * frames_raw, axis=-1)
+    band_ratio = energy / jnp.maximum(e_full, 1e-12)
+    voicing_score = merit_orig + 0.6 * jnp.clip(band_ratio, 0.0, 1.2)
+
     # spectral channel: SHC peaks over both paths — the original signal
     # covers pure/strong-fundamental frames, the squared signal restores
     # a missing fundamental (sin^2 puts energy at 2f, so alone it would
@@ -289,7 +299,8 @@ def yaapt_f0(
         spec_f0 = jnp.zeros((n_frames,))
         spec_strength = jnp.zeros((n_frames,))
 
-    f0 = np.asarray(_viterbi(f0_cands, merits, energy, spec_f0, spec_strength))
+    f0 = np.asarray(_viterbi(f0_cands, merits, energy, spec_f0, spec_strength,
+                             voicing_score))
 
     # frame count the reference observes: len(audio)//hop
     target = max(1, int(round(len(audio) / hop)))
