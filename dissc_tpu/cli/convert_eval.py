@@ -112,6 +112,29 @@ def main(argv=None):
                     print(f"No sample: {spk}_{seq:03}, this is ok if it only happens "
                           "for few of the samples")
 
+    # 4b. restructure the ground truth into results/<data>/orig/ (reference
+    # :112-136): copy/transcode gt recordings + transcripts once per dataset;
+    # calc_errors reads this directory for the paired comparisons.
+    gt_path = f"results/{args.data}/orig/"
+    if args.sort_gt:
+        from dissc_tpu.core.wav import read_audio, write_wav
+
+        os.makedirs(gt_path, exist_ok=True)
+        for spk in c["src_spk"]:
+            for seq in c["wanted_seq"]:
+                src = f"{c['data_path']}/wav/{c['gt_pre']}/{spk}_{seq:03}{c['gt_suf']}"
+                if os.path.exists(src):
+                    # first channel, re-containered as 16 kHz wav like the
+                    # reference's torchaudio.load + scipy write (:129-131)
+                    data, _ = read_audio(src, dtype="float32")
+                    if data.ndim > 1:
+                        data = data[..., 0]
+                    write_wav(f"{gt_path}/{spk}_{seq:03}.wav", data, 16000)
+                    shutil.copy(f"{c['data_path']}/txt/{spk}/{spk}_{seq:03}.txt",
+                                f"{gt_path}/{spk}_{seq:03}.txt")
+                else:
+                    print(f"No sample: {spk}_{seq:03}")
+
     # 5. MFA alignment (external; skipped when unavailable)
     if shutil.which("mfa"):
         for t_spk in c["trgt_spk"]:
@@ -119,6 +142,13 @@ def main(argv=None):
             subprocess.run(
                 ["mfa", "align", "-s", "4", "--clean", f"{c['out_path']}/{t_spk}/",
                  "english_us_arpa", "english_us_arpa", f"{c['out_path']}/{t_spk}/txtgrid/"],
+                check=False,
+            )
+        if args.sort_gt:
+            os.makedirs(f"{gt_path}/txtgrid/", exist_ok=True)
+            subprocess.run(
+                ["mfa", "align", "-s", "4", "--clean", gt_path,
+                 "english_us_arpa", "english_us_arpa", f"{gt_path}/txtgrid/"],
                 check=False,
             )
     else:

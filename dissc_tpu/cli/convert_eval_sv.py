@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--data", default="vctk", help="[vctk, esd]")
     parser.add_argument("--dissc_type", default="dissc_b",
                         help="[dissc_p, dissc_l, dissc_b]")
+    parser.add_argument("--embedder", default=None,
+                        help="converted ECAPA checkpoint pickle for EER scoring")
+    parser.add_argument("--speechbrain_ckpt", default=None,
+                        help="raw speechbrain embedding_model.ckpt for EER scoring")
     args = parser.parse_args(argv)
     c = _init_params(args)
 
@@ -82,7 +86,11 @@ def main(argv=None):
             "--data_path", f"{c['data_path']}/wav/{c['gt_pre']}",
             "--output_dir", f"{c['gen_path']}/{t_spk}",
             "--checkpoint_file", f"checkpoints/{args.data.split('_')[-1]}_vocoder",
-            "--vc", "--target-speakers", t_spk, "-n", "1000",
+            "--vc", "--target-speakers", t_spk,
+            # synthesize only the CSV's (sample, target) pairs, not the
+            # full split per speaker (reference scripts/convert_eval_sv.py:78)
+            "--sample_df", f"{c['data_path']}/speaker_verification.csv",
+            "-n", "1000",
         ])
 
     os.makedirs(c["out_path"], exist_ok=True)
@@ -99,9 +107,27 @@ def main(argv=None):
         except FileNotFoundError:
             print(row.syn_sample)
 
-    print("Conversions done. Score with dissc_tpu.eval.sv.run_sv_eval (inject a "
-          "speaker-embedding scorer; speechbrain ECAPA weights are not bundled "
-          "in this zero-egress image).")
+    # final scoring step (reference scripts/convert_eval_sv.py:95-96 runs
+    # eval_sv.py); skips with a message when no embedder weights are given
+    if args.embedder or args.speechbrain_ckpt:
+        from dissc_tpu.cli.eval_sv import main as eval_sv_main
+
+        sv_args = [
+            "--base_path", f"results/{args.data}",
+            "--method", args.dissc_type,
+            "--gt_path", f"{c['data_path']}/wav/{c['gt_pre']}",
+            "--file_suffix", c["gt_suf"],
+        ]
+        if args.embedder:
+            sv_args += ["--embedder", args.embedder]
+        if args.speechbrain_ckpt:
+            sv_args += ["--speechbrain_ckpt", args.speechbrain_ckpt]
+        eval_sv_main(sv_args)
+    else:
+        print("Conversions done. Pass --embedder/--speechbrain_ckpt to score "
+              "EER (speechbrain ECAPA weights are not bundled in this "
+              "zero-egress image), or call dissc_tpu.eval.sv.run_sv_eval with "
+              "any injected score_fn.")
 
 
 if __name__ == "__main__":
