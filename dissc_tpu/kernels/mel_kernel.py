@@ -93,7 +93,9 @@ def mel_spectrogram_pallas(
     y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (y.shape[1] - n_fft) // hop_size
 
-    block = min(FRAME_BLOCK, n_frames)
+    # Mosaic must prove fj*block (the DMA row start) divisible by the
+    # sublane tiling (8), so the block size itself must be a multiple of 8
+    block = min(FRAME_BLOCK, -(-n_frames // 8) * 8)
     n_blocks = -(-n_frames // block)
     r = n_fft // hop_size
     rows = -(-(block + r - 1) // 8) * 8  # sublane-aligned DMA row count
@@ -128,3 +130,41 @@ def mel_spectrogram_pallas(
         interpret=interpret,
     )(y, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_t))
     return out[:, :n_frames, :].transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def mel_spectrogram_pallas_grad(y, n_fft=1024, num_mels=80, sampling_rate=16000,
+                                hop_size=256, win_size=1024, fmin=0.0,
+                                fmax=8000.0):
+    """Differentiable fused log-mel: Pallas forward, XLA-recompute backward.
+
+    The fused kernel never materialises the [F, 513] magnitudes the
+    backward needs, so the VJP re-runs the (numerically identical)
+    ``audio.mel`` chain under ``jax.vjp`` — the forward stays fused
+    (the hot path: it runs under ``stop_gradient`` once and with grad
+    once per train step), the backward pays one XLA recompute.
+    """
+    return mel_spectrogram_pallas(y, n_fft, num_mels, sampling_rate, hop_size,
+                                  win_size, fmin, fmax)
+
+
+def _mel_grad_fwd(y, n_fft, num_mels, sampling_rate, hop_size, win_size, fmin,
+                  fmax):
+    out = mel_spectrogram_pallas(y, n_fft, num_mels, sampling_rate, hop_size,
+                                 win_size, fmin, fmax)
+    return out, y
+
+
+def _mel_grad_bwd(n_fft, num_mels, sampling_rate, hop_size, win_size, fmin,
+                  fmax, y, g):
+    from dissc_tpu.audio.mel import mel_spectrogram
+
+    _, vjp = jax.vjp(
+        lambda yy: mel_spectrogram(yy, n_fft=n_fft, num_mels=num_mels,
+                                   sampling_rate=sampling_rate,
+                                   hop_size=hop_size, win_size=win_size,
+                                   fmin=fmin, fmax=fmax), y)
+    return vjp(g)
+
+
+mel_spectrogram_pallas_grad.defvjp(_mel_grad_fwd, _mel_grad_bwd)

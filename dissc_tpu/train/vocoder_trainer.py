@@ -102,13 +102,29 @@ def init_gan_state(h: VocoderConfig, rng, seg_frames: Optional[int] = None,
     return state, gen_tx, disc_tx
 
 
-def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
-    """Build the jitted GAN train step."""
-    gen, mpd, msd = make_models(h)
+def _pick_mel_fn(h: VocoderConfig):
+    """Fused Pallas log-mel on TPU (runs twice per step: y target +
+    y_g_hat under grad), XLA chain elsewhere — identical numerics
+    (tests/test_kernels.py)."""
     mel_kw = dict(
         n_fft=h.n_fft, num_mels=h.num_mels, sampling_rate=h.sampling_rate,
         hop_size=h.hop_size, win_size=h.win_size, fmin=h.fmin, fmax=h.fmax_for_loss,
     )
+    use_pallas = (jax.default_backend() == "tpu" and h.n_fft % h.hop_size == 0
+                  and h.win_size <= h.n_fft)
+    if use_pallas:
+        from dissc_tpu.kernels.mel_kernel import mel_spectrogram_pallas_grad
+
+        return lambda y: mel_spectrogram_pallas_grad(
+            y, h.n_fft, h.num_mels, h.sampling_rate, h.hop_size, h.win_size,
+            float(h.fmin), h.fmax_for_loss)
+    return lambda y: mel_spectrogram(y, **mel_kw)
+
+
+def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
+    """Build the jitted GAN train step."""
+    gen, mpd, msd = make_models(h)
+    mel_fn = _pick_mel_fn(h)
 
     # donate the state: params + two optimizer trees (~0.5 GB for the full
     # config) update in place instead of being copied every step
@@ -144,10 +160,10 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
         disc_params = optax.apply_updates(disc_params, d_updates)
 
         # ---- G step against the UPDATED discriminators
-        y_mel = mel_spectrogram(y, **mel_kw)
+        y_mel = mel_fn(y)
 
         def g_loss_from_wave(y_hat):
-            y_hat_mel = mel_spectrogram(y_hat, **mel_kw)
+            y_hat_mel = mel_fn(y_hat)
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * 45.0
             _, p_gs, p_fr, p_fg = mpd.apply({"params": disc_params["mpd"]}, y, y_hat,
                                             True)
@@ -193,8 +209,8 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
     def val_step(state: GANState, batch: Dict[str, jax.Array]):
         y_g_hat = gen.apply({"params": state.gen_params}, batch["code"],
                             batch.get("f0"), batch["spkr"])
-        y_mel = mel_spectrogram(batch["audio"], **mel_kw)
-        y_hat_mel = mel_spectrogram(y_g_hat, **mel_kw)
+        y_mel = mel_fn(batch["audio"])
+        y_hat_mel = mel_fn(y_g_hat)
         return jnp.mean(jnp.abs(y_mel - y_hat_mel)), y_g_hat
 
     return train_step, val_step
@@ -324,7 +340,9 @@ def train_vocoder(
     for epoch in range(max(0, last_epoch), training_epochs):
         start = time.time()
         for batch in prefetched(
-            ds_train.batches(h.batch_size, shuffle=True, seed=h.seed + epoch)
+            ds_train.batches(h.batch_size, shuffle=True, seed=h.seed + epoch,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
         ):
             if steps >= training_steps:
                 save_all(epoch)
