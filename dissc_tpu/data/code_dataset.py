@@ -230,13 +230,22 @@ class CodeDataset:
         return feats
 
     def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
-                use_native: bool = True) -> Iterator[Dict]:
+                use_native: bool = True, process_index: int = 0,
+                process_count: int = 1) -> Iterator[Dict]:
         """Fixed-shape stacked batches (training mode only).
 
         ``use_native``: route the audio crops through the C++ threaded
         loader (``native/wavloader.cc``) — crop *sampling* stays here so
         the draw sequence is identical on both paths; only decode/
         normalise/copy moves to native threads.
+
+        ``process_index``/``process_count``: multi-host data sharding —
+        every process shuffles the SAME epoch order (same seed), pads it
+        by wrap-around to a multiple of ``process_count`` and takes its
+        strided slice, so hosts see disjoint covering shards (the
+        reference's ``DistributedSampler``, ``sr/train.py:102``).
+        ``batch_size`` is the per-process batch, like torch's
+        per-rank DataLoader batch.
         """
         from dissc_tpu.data.native_loader import load_crops, native_available, wav_info
 
@@ -247,6 +256,10 @@ class CodeDataset:
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if process_count > 1:
+            total = -(-len(order) // process_count) * process_count
+            order = np.resize(order, total)  # wrap-around pad
+            order = order[process_index::process_count]
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idxs = order[start : start + batch_size]
             if not native:

@@ -46,12 +46,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of [B, ...] arrays with B sharded over ``data``."""
-    sh = data_sharding(mesh)
+    """Place a pytree of [B, ...] arrays with B sharded over ``data``.
+
+    Single-process: a plain ``device_put`` with the batch sharding.
+    Multi-process (``jax.distributed`` initialized): each host holds its
+    OWN disjoint shard of the global batch (see
+    ``CodeDataset.batches(process_index=...)``) and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — the
+    local leading dim times ``process_count`` becomes the global batch.
+    """
 
     def put(x):
         spec = P("data", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -91,3 +91,106 @@ def test_vq_codebook_identical_across_shardings():
     k8 = jax.tree_util.tree_leaves(run(create_mesh(n_data=8, n_model=1)))
     for a, b in zip(k1, k8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gan_step_equivalent_on_1_and_8_devices():
+    """The FULL GAN train step (both optimizers, spectral state) on a
+    (4, 2) data x model mesh — conv kernels tensor-sharded on their
+    output-channel dim like dryrun_multichip — must match the 1-device
+    step. SGD isolates sharding effects from Adam's grad-noise
+    amplification (see test_training_equivalent_on_1_and_8_devices)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dissc_tpu.core.config import VocoderConfig
+    from dissc_tpu.train.vocoder_trainer import init_gan_state, make_gan_train_step
+
+    h = VocoderConfig(upsample_initial_channel=32, embedding_dim=8,
+                      model_in_dim=17, segment_size=1280, batch_size=8)
+    rng = np.random.default_rng(2)
+    batch_np = {
+        "code": rng.integers(0, 100, (8, 4)).astype(np.int32),
+        "f0": rng.normal(0, 1, (8, 4, 1)).astype(np.float32),
+        "spkr": rng.integers(0, 4, (8, 1)).astype(np.int32),
+        "audio": rng.uniform(-0.5, 0.5, (8, 1280)).astype(np.float32),
+    }
+
+    def run(mesh, n_model):
+        state, gen_tx, disc_tx = init_gan_state(
+            h, jax.random.key(0), seg_frames=4,
+            gen_tx=optax.sgd(1e-3), disc_tx=optax.sgd(1e-3))
+
+        def shard_param(x):
+            if (getattr(x, "ndim", 0) >= 2 and x.shape[-1] % n_model == 0
+                    and x.shape[-1] >= n_model):
+                spec = P(*([None] * (x.ndim - 1)), "model")
+            else:
+                spec = P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        state = jax.tree_util.tree_map(shard_param, state)
+        batch = {
+            k: jax.device_put(jnp.asarray(v), NamedSharding(
+                mesh, P("data", *([None] * (v.ndim - 1)))))
+            for k, v in batch_np.items()
+        }
+        train_step, _ = make_gan_train_step(h, gen_tx, disc_tx)
+        with mesh:
+            new_state, metrics = train_step(state, batch)
+            jax.block_until_ready(new_state.gen_params)
+        return new_state, metrics
+
+    s1, m1 = run(create_mesh(n_data=1, n_model=1, devices=jax.devices()[:1]), 1)
+    s8, m8 = run(create_mesh(n_data=4, n_model=2), 2)
+
+    for k in ("loss_disc", "loss_gen_total", "loss_mel"):
+        assert np.isclose(float(m1[k]), float(m8[k]), rtol=1e-4), k
+    for name, t1, t8 in (("gen", s1.gen_params, s8.gen_params),
+                         ("mpd", s1.mpd_params, s8.mpd_params),
+                         ("msd", s1.msd_params, s8.msd_params)):
+        for a, b in zip(jax.tree_util.tree_leaves(t1),
+                        jax.tree_util.tree_leaves(t8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                       err_msg=name)
+
+
+def test_dataset_process_sharding_disjoint_and_covering(tmp_path):
+    """CodeDataset.batches(process_index/count) gives each host a disjoint
+    covering shard of the same shuffled epoch (DistributedSampler
+    semantics, reference sr/train.py:102)."""
+    import json
+
+    from dissc_tpu.core.wav import write_wav
+    from dissc_tpu.data.code_dataset import CodeDataset, parse_manifest
+
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(7):  # odd count exercises the wrap-around pad
+        wav = (rng.standard_normal(8 * 320) * 0.2).astype(np.float32)
+        name = f"p1_{i:03d}.wav"
+        write_wav(str(tmp_path / name), wav, 16000)
+        # unique constant code value identifies the item in a batch
+        records.append({"units": [i] * 8, "f0": [100.0] * 8, "audio": name})
+    mani = str(tmp_path / "train.txt")
+    with open(mani, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    files = parse_manifest(mani, str(tmp_path))
+
+    def items_for(pi, pc):
+        ds = CodeDataset(files, 1280, 320, 16000, seed=5)
+        seen = []
+        for b in ds.batches(2, shuffle=True, seed=11, process_index=pi,
+                            process_count=pc):
+            seen.extend(int(v) for v in b["code"][:, 0])
+        return seen
+
+    shard0, shard1 = items_for(0, 2), items_for(1, 2)
+    assert len(shard0) == len(shard1) == 4  # ceil(7/2)=4 each (one wrapped)
+    # disjoint up to the single wrap-around duplicate
+    dup = set(shard0) & set(shard1)
+    assert len(dup) <= 1
+    assert set(shard0) | set(shard1) == set(range(7))  # covering
+    # single-process run sees everything in the same epoch order
+    full = items_for(0, 1)
+    assert sorted(set(full)) == list(range(6)) or len(full) == 6
