@@ -95,14 +95,19 @@ def main():
     wav, out_lens = convert(*iter_args[0])  # compile
     jax.block_until_ready(wav)
 
+    # Audio-seconds denominator: the vocoder always synthesizes exactly
+    # B x OUT_T frames (the engine's bucket), so count what was actually
+    # generated — not the predictor's unclamped out_lens, which can
+    # exceed OUT_T with random weights and flatter the RTF.
+    wav_np = np.asarray(wav)
+    audio_seconds_per_iter = wav_np.size / 16000.0
+
     # latency-inclusive: block every call (per-utterance-batch round trip)
     start = time.time()
-    audio_seconds = 0.0
     for it in range(1, n_iters + 1):
         wav, out_lens = convert(*iter_args[it])
         jax.block_until_ready((wav, out_lens))
-        audio_seconds += float(np.asarray(out_lens).sum()) * 320 / 16000
-    rtf_latency = (time.time() - start) / audio_seconds
+    rtf_latency = (time.time() - start) / (audio_seconds_per_iter * n_iters)
 
     # steady-state throughput: overlap dispatches (how a serving pipeline
     # runs).  Completion is forced by fetching a slice of the LAST
@@ -113,14 +118,26 @@ def main():
     outs = [convert(*iter_args[it]) for it in range(1, n_iters + 1)]
     _ = np.asarray(outs[-1][0][0, :8])
     elapsed_pipe = time.time() - start
-    audio_seconds = sum(
-        float(np.asarray(ol).sum()) * 320 / 16000 for _, ol in outs
-    )
-    rtf = elapsed_pipe / audio_seconds
+    rtf = elapsed_pipe / (audio_seconds_per_iter * n_iters)
     import sys
 
     print(f"latency-inclusive rtf: {rtf_latency:.6f}; pipelined rtf: {rtf:.6f}",
           file=sys.stderr)
+
+    # MFU: XLA cost model over the dominant kernel (the vocoder forward)
+    try:
+        ca = voc_apply.lower(voc_params, code0, f00, spk_b).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            # time share attributed to the vocoder ~= pipelined elapsed/iter
+            tf_s = flops / (elapsed_pipe / n_iters)
+            print(f"vocoder fwd flops: {flops/1e12:.3f} TF; >= {tf_s/1e12:.1f} "
+                  f"TF/s achieved (>= {tf_s/197e12*100:.1f}% MFU of bf16 peak, "
+                  f"whole-pipeline time in the denominator)", file=sys.stderr)
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "e2e_conversion_rtf_per_chip",
         "value": round(rtf, 6),

@@ -118,6 +118,7 @@ class ProsodyConverter:
         self.n_tokens = n_tokens
         self.expand_factor = expand_factor
         self.buckets = buckets
+        self.truncation_count = 0  # conversions clipped by expand_factor
         self.len_model = None
         self.len_variables = None
         self.len_norm_stats = (jnp.float32(0.0), jnp.float32(1.0))
@@ -200,7 +201,20 @@ class ProsodyConverter:
                 for j, i in enumerate(chunk):
                     # out_cap = expand_factor * in_cap; predicted totals beyond
                     # it are clamped (rhythm conversion stays ~length-preserving,
-                    # so the 2x margin is never hit in practice)
+                    # so the 2x margin is never hit in practice) — counted and
+                    # warned, never silent
+                    if int(out_lens[j]) > out_cap:
+                        self.truncation_count += 1
+                        import warnings
+
+                        warnings.warn(
+                            f"prosody conversion truncated "
+                            f"{records[i].get('audio', i)}: predicted "
+                            f"{int(out_lens[j])} frames > cap {out_cap} "
+                            f"(expand_factor={self.expand_factor}); raise "
+                            f"expand_factor to keep the full output",
+                            stacklevel=2,
+                        )
                     L = min(int(out_lens[j]), out_cap)
                     units = out_seqs[j, :L].tolist()
                     if self.pitch_model is not None:

@@ -46,9 +46,13 @@ class TDNNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # speechbrain's Conv1d defaults to 'same' REFLECT padding
+        # (speechbrain.nnet.CNN.Conv1d padding_mode='reflect')
         pad = (self.kernel_size - 1) * self.dilation // 2
+        if pad:
+            x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
         x = nn.Conv(self.out_channels, (self.kernel_size,),
-                    kernel_dilation=(self.dilation,), padding=[(pad, pad)],
+                    kernel_dilation=(self.dilation,), padding="VALID",
                     name="conv")(x)
         x = nn.relu(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -231,12 +235,13 @@ def convert_speechbrain_state_dict(sd: Dict[str, Any],
             r2_p[f"block_{j}"], r2_s[f"block_{j}"] = _tdnn(sd, f"{base}.res2net_block.blocks.{j}")
         p["res2net_block"], s["res2net_block"] = r2_p, r2_s
         p["tdnn2"], s["tdnn2"] = _tdnn(sd, f"{base}.tdnn2")
-        p["se_block"] = {"conv1": _conv(sd, f"{base}.se_block.conv1"),
-                         "conv2": _conv(sd, f"{base}.se_block.conv2")}
+        # speechbrain's SEBlock convs are sb-Conv1d wrappers (inner .conv)
+        p["se_block"] = {"conv1": _conv(sd, f"{base}.se_block.conv1.conv"),
+                         "conv2": _conv(sd, f"{base}.se_block.conv2.conv")}
         params[f"block_{i}"], stats[f"block_{i}"] = p, s
     params["mfa"], stats["mfa"] = _tdnn(sd, "mfa")
     asp_p, asp_s = _tdnn(sd, "asp.tdnn")
-    params["asp"] = {"tdnn": asp_p, "conv": _conv(sd, "asp.conv")}
+    params["asp"] = {"tdnn": asp_p, "conv": _conv(sd, "asp.conv.conv")}
     stats["asp"] = {"tdnn": asp_s}
     bn_p, bn_s = _bn(sd, "asp_bn")
     params["asp_bn"], stats["asp_bn"] = bn_p, bn_s

@@ -57,6 +57,24 @@ def main():
     print(f"train step: {dt*1e3:.1f} ms/step @ batch {batch_size} "
           f"({1/dt:.2f} steps/s; 400k steps ~= {400000*dt/3600:.1f} h)")
 
+    # MFU accounting: XLA's own cost model for the whole compiled step.
+    # Peak for one TPU v5e chip: 197 TFLOP/s (bf16 MXU); f32 convs run
+    # at half MXU rate, so f32-dominated MFU vs the bf16 peak is
+    # conservative (a 50% f32 MFU is the f32 roofline).
+    try:
+        ca = train_step.lower(state, batches[11]).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = 197e12
+        if flops > 0:
+            print(f"flops/step: {flops/1e12:.3f} TF; achieved "
+                  f"{flops/dt/1e12:.1f} TF/s; MFU(bf16 peak) "
+                  f"{flops/dt/peak*100:.1f}%  MFU(f32 roofline) "
+                  f"{flops/dt/(peak/2)*100:.1f}%")
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}")
+
 
 if __name__ == "__main__":
     main()

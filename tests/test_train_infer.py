@@ -216,3 +216,30 @@ def test_infer_sample_df_restricts_pairs(toy_corpus, trained_checkpoints, tmp_pa
     assert [r["audio"] for r in p2_recs] == ["p1_200.wav"]
     p1_recs = read_unit_records(os.path.join(out, "p1_val.txt"))
     assert [r["audio"] for r in p1_recs] == ["p2_201.wav"]
+
+
+def test_prosody_truncation_warns(toy_corpus, trained_checkpoints):
+    """expand_factor clipping must warn and count, never truncate silently."""
+    import pickle
+    import warnings
+
+    from dissc_tpu.data.jsonl import read_unit_records
+    from dissc_tpu.data.stats import load_f0_stats, load_id_to_spkr, prep_stats_arrays
+    from dissc_tpu.infer.prosody import ProsodyConverter
+
+    len_dir, pitch_dir = trained_checkpoints
+    spk_id_dict = load_id_to_spkr(os.path.join(toy_corpus, "id_to_spkr.pkl"))
+    stats = load_f0_stats(os.path.join(toy_corpus, "f0_stats.pkl"))
+    id2mean, id2std = prep_stats_arrays(spk_id_dict, stats)
+    conv = ProsodyConverter.load(
+        n_speakers=len(spk_id_dict), len_model_dir=len_dir,
+        f0_model_dir=pitch_dir, id2pitch_mean=id2mean, id2pitch_std=id2std,
+    )
+    conv.expand_factor = 0.05  # force the cap below any plausible output
+    records = read_unit_records(os.path.join(toy_corpus, "val.txt"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = conv.convert_records(records, spk_id_dict)
+    assert conv.truncation_count > 0
+    assert any("truncated" in str(x.message) for x in w)
+    assert all(len(r["units"]) > 0 for r in out)
