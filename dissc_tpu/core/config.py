@@ -103,6 +103,13 @@ class VocoderConfig:
     dp_axis: str = "data"
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # run all MRF branches as one grouped block-diagonal conv at stages
+    # with >= this many channels.  Measured on v5e: the merge wins in the
+    # latency-bound wide stages (256 ch: 1.8 ms vs 3.6 ms — 18 tiny
+    # kernels collapse to 6) and LOSES in the long-T narrow tail where
+    # XLA's small-C layouts are already throughput-bound and the merge
+    # only adds zero-block FLOPs.  0 disables.
+    mrf_merge_min_ch: int = 192
 
     @classmethod
     def from_json(cls, path: str) -> "VocoderConfig":

@@ -1,0 +1,146 @@
+"""Streaming / chunked long-form vocoder synthesis.
+
+The reference synthesizes whole utterances in one generator call
+(``sr/inference.py:172-256``), which for long-form audio (audiobooks,
+podcasts) means unbounded activation memory and one giant XLA program
+per length.  This module synthesizes arbitrarily long unit sequences as
+fixed-size chunks with enough *real* left/right context that the output
+is **bit-exact** vs the monolithic forward (the generator is fully
+convolutional: a sample only depends on codes within its receptive
+field).
+
+Design:
+  * Chunk windows carry ``context`` extra code frames on each interior
+    side; the first/last windows are aligned flush with the true signal
+    boundary, so the layer-wise zero padding of the chunked program
+    matches the monolithic program's exactly — no crossfading, no
+    approximation anywhere.
+  * Exactly TWO compiled programs regardless of utterance length:
+    ``chunk + context`` (boundary) and ``chunk + 2*context`` (interior).
+  * Constant device memory: ~``(chunk + 2*context) * 320`` samples of
+    activations, independent of utterance length.
+
+The default context is derived from the config's actual receptive field
+(:func:`receptive_field_frames`), rounded up to a multiple of 8 for
+sublane-friendly shapes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dissc_tpu.core.config import VocoderConfig
+from dissc_tpu.models.hifigan import CodeGenerator
+
+
+def receptive_field_frames(h: VocoderConfig) -> int:
+    """One-sided receptive field of the generator, in code frames.
+
+    Accumulates, at each stage's own rate, the 'same'-padded context of
+    the pre-conv, the transposed-conv window, every MRF branch (max over
+    kernel banks; convs1 dilated + convs2 undilated per ResBlock1 step,
+    dilated only for ResBlock2), and the post-conv, then converts to
+    code frames (ceil).
+    """
+    hop = int(np.prod(h.upsample_rates))  # samples per code frame
+    rf_samples = 3 * hop  # conv_pre k7 'same' at the code rate
+    rate = hop
+    for u, k in zip(h.upsample_rates, h.upsample_kernel_sizes):
+        # ConvT: output sample depends on ceil((k-1)/2 / u) input frames
+        rf_samples += math.ceil((k - 1) / 2 / u) * rate
+        rate //= u
+        mrf = 0
+        for rk, rd in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+            half = (rk - 1) // 2
+            if h.resblock == "1":
+                c = sum(half * d + half for d in rd)
+            else:
+                c = sum(half * d for d in rd)
+            mrf = max(mrf, c)
+        rf_samples += mrf * rate
+    rf_samples += 3  # conv_post k7 at the sample rate
+    return math.ceil(rf_samples / hop)
+
+
+class StreamingVocoder:
+    """Chunked synthesis, bit-exact vs the monolithic generator forward."""
+
+    def __init__(self, h: VocoderConfig, gen_params,
+                 chunk_frames: int = 512, context_frames: Optional[int] = None):
+        self.h = h
+        self.model = CodeGenerator(h)
+        self.params = gen_params
+        self.hop = int(np.prod(h.upsample_rates))
+        rf = receptive_field_frames(h)
+        self.context = context_frames if context_frames is not None else ((rf + 7) // 8) * 8
+        if self.context < rf:
+            raise ValueError(
+                f"context_frames={self.context} < receptive field {rf} frames: "
+                "chunk boundaries would be audible")
+        self.chunk = chunk_frames
+        if self.chunk < self.context:
+            raise ValueError("chunk_frames must be >= context_frames")
+        self._jitted = jax.jit(
+            lambda params, code, f0, spkr: self.model.apply(
+                {"params": params}, code, f0, spkr))
+
+    def _run(self, code_w: np.ndarray, f0_w: Optional[np.ndarray],
+             spkr: Optional[np.ndarray]) -> np.ndarray:
+        y = self._jitted(self.params, jnp.asarray(code_w[None]),
+                         None if f0_w is None else jnp.asarray(f0_w[None]),
+                         None if spkr is None else jnp.asarray(spkr[None]))
+        return np.asarray(y[0])
+
+    def synthesize(self, code: np.ndarray, f0: Optional[np.ndarray] = None,
+                   spkr: Optional[np.ndarray] = None) -> np.ndarray:
+        """[T] int codes (+ [Tf,1] f0 at an integer multiple of the code
+        rate, + [1] speaker id) -> [T*hop] float waveform.
+
+        Falls back to a single monolithic call when the sequence fits in
+        one boundary window.
+        """
+        code = np.asarray(code, np.int32)
+        T = len(code)
+        r = 1
+        if f0 is not None:
+            f0 = np.asarray(f0, np.float32).reshape(-1, 1)
+            if len(f0) % T:
+                raise ValueError(f"f0 length {len(f0)} not a multiple of code length {T}")
+            r = len(f0) // T
+        # when f0 is finer than the code rate, the conditioning (and the
+        # output) runs at the f0 rate: r*hop samples per code frame
+        # (reference ``sr/models.py:206-211`` upsamples the coarser side)
+        eff = r * self.hop
+        ch, cx = self.chunk, self.context
+        if T < ch + 2 * cx:
+            w = self._run(code, f0, spkr)
+            return w[: T * eff]
+
+        out = np.empty(T * eff, np.float32)
+
+        def window(lo: int, hi: int) -> np.ndarray:
+            return self._run(code[lo:hi],
+                             None if f0 is None else f0[lo * r : hi * r], spkr)
+
+        # first chunk: window flush with the signal start (zero padding
+        # inside the convs == the monolithic program's padding)
+        y = window(0, ch + cx)
+        out[: ch * eff] = y[: ch * eff]
+        # interior chunks: full real context both sides
+        s = ch
+        while s + ch + cx <= T:
+            y = window(s - cx, s + ch + cx)
+            out[s * eff : (s + ch) * eff] = y[cx * eff : (cx + ch) * eff]
+            s += ch
+        # tail: an interior-SHAPED window (ch + 2*cx frames — reuses the
+        # interior compile) flush with the signal end.  The remaining
+        # R = T - s < ch + cx frames keep >= cx frames of real left
+        # context inside it, so the tail is exact too.
+        if s < T:
+            y = window(T - (ch + 2 * cx), T)
+            out[s * eff :] = y[-(T - s) * eff :]
+        return out

@@ -50,18 +50,26 @@ class ResBlock1(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, collect: bool = False):
+        """collect=True returns the folded conv weights per dilation step
+        (for the merged block-diagonal MRF) instead of computing."""
+        weights = []
         for i, d in enumerate(self.dilations):
+            c1 = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
+                        kernel_init=hifigan_init(), dtype=self.dtype,
+                        name=f"convs1_{i}")
+            c2 = Conv1d(self.channels, self.kernel_size, dilation=1, norm="weight",
+                        kernel_init=hifigan_init(), dtype=self.dtype,
+                        name=f"convs2_{i}")
+            if collect:
+                weights.append((c1(x, return_kernel=True), c2(x, return_kernel=True)))
+                continue
             xt = leaky_relu(x)
-            xt = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
-                        kernel_init=hifigan_init(), dtype=self.dtype,
-                        name=f"convs1_{i}")(xt)
+            xt = c1(xt)
             xt = leaky_relu(xt)
-            xt = Conv1d(self.channels, self.kernel_size, dilation=1, norm="weight",
-                        kernel_init=hifigan_init(), dtype=self.dtype,
-                        name=f"convs2_{i}")(xt)
+            xt = c2(xt)
             x = xt + x
-        return x
+        return weights if collect else x
 
 
 class ResBlock2(nn.Module):
@@ -84,6 +92,61 @@ class ResBlock2(nn.Module):
                         name=f"convs_{i}")(xt)
             x = xt + x
         return x
+
+
+def _merged_mrf(x, banks, kernel_sizes, dilations, dtype=None):
+    """All MRF branches as ONE block-diagonal (grouped) conv chain.
+
+    Stacking the branches on the channel axis ([B, T, nb*ch]) turns
+    each dilation step into a single grouped conv
+    (``feature_group_count=nb``, kernels zero-padded to the widest
+    bank), collapsing 6*nb kernel launches to 6, with identical
+    numerics.  Measured on v5e this wins only in the WIDE early stages
+    (short T, many tiny kernels -> latency-bound: 256 ch 3.6->1.8 ms);
+    the narrow long-T tail is throughput-bound and the zero blocks only
+    add work, so ``mrf_merge_min_ch`` gates it to wide stages.
+
+    ``banks[j][s] = ((k1, b1), (k2, b2))`` — the folded weights of
+    branch j's dilation step s, from ``ResBlock1(..., collect=True)``.
+    """
+    nb = len(banks)
+    ch = x.shape[-1]
+    kmax = max(kernel_sizes)
+    compute = x.dtype if dtype is None else dtype
+
+    def merged(step, which):
+        kern = jnp.zeros((kmax, ch, nb * ch), compute)
+        bias = jnp.zeros((nb * ch,), compute)
+        for j, (ksz, bank) in enumerate(zip(kernel_sizes, banks)):
+            kj, bj = bank[step][which]
+            off = (kmax - ksz) // 2
+            kern = jax.lax.dynamic_update_slice(
+                kern, kj.astype(compute), (off, 0, j * ch))
+            if bj is not None:
+                bias = jax.lax.dynamic_update_slice(
+                    bias, bj.astype(compute), (j * ch,))
+        return kern, bias
+
+    def conv(z, kern, bias, dd):
+        return jax.lax.conv_general_dilated(
+            z, kern, window_strides=(1,),
+            padding=[(same_padding(kmax, dd),) * 2],
+            rhs_dilation=(dd,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=nb,
+        ) + bias
+
+    X = jnp.concatenate([x] * nb, axis=-1).astype(compute)
+    for s, d in enumerate(dilations):
+        k1, b1 = merged(s, 0)
+        k2, b2 = merged(s, 1)
+        xt = leaky_relu(X)
+        xt = conv(xt, k1, b1, d)
+        xt = leaky_relu(xt)
+        xt = conv(xt, k2, b2, 1)
+        X = xt + X
+    # MRF average = mean over the branch blocks
+    return jnp.mean(X.reshape(X.shape[0], X.shape[1], nb, ch), axis=2)
 
 
 class Generator(nn.Module):
@@ -109,12 +172,24 @@ class Generator(nn.Module):
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, norm="weight",
                                 kernel_init=hifigan_init(), dtype=dtype,
                                 name=f"ups_{i}")(x)
-            acc = None
-            for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
-                y = resblock_cls(ch, rk, tuple(rd), dtype=dtype,
-                                 name=f"resblocks_{i * num_kernels + j}")(x)
-                acc = y if acc is None else acc + y
-            x = acc / num_kernels
+            dils = [tuple(rd) for rd in h.resblock_dilation_sizes]
+            min_ch = h.get("mrf_merge_min_ch", 192) or 10 ** 9
+            merge = (h.resblock == "1" and len(set(dils)) == 1
+                     and ch >= min_ch)
+            blocks = [resblock_cls(ch, rk, tuple(rd), dtype=dtype,
+                                   name=f"resblocks_{i * num_kernels + j}")
+                      for j, (rk, rd) in enumerate(
+                          zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes))]
+            if merge:
+                banks = [b(x, collect=True) for b in blocks]
+                x = _merged_mrf(x, banks, list(h.resblock_kernel_sizes),
+                                dils[0], dtype=dtype)
+            else:
+                acc = None
+                for b in blocks:
+                    y = b(x)
+                    acc = y if acc is None else acc + y
+                x = acc / num_kernels
         # slope 0.01, not LRELU_SLOPE: the reference's final activation is
         # `F.leaky_relu(x)` with the torch default (sr/models.py:110 omits
         # the slope argument — an upstream hifi-gan quirk that is

@@ -1,0 +1,97 @@
+"""Streaming chunked synthesis: bit-exactness vs the monolithic forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dissc_tpu.core.config import VocoderConfig
+from dissc_tpu.infer.streaming import StreamingVocoder, receptive_field_frames
+from dissc_tpu.models.hifigan import CodeGenerator
+
+
+def _thin_config(**kw):
+    # full-size rates/kernels (the receptive field of the VCTK config)
+    # but thin channels so the CPU monolithic reference stays fast
+    d = dict(upsample_initial_channel=32, model_in_dim=17, embedding_dim=8,
+             num_embeddings=100, multispkr="from_input_file", f0=True)
+    d.update(kw)
+    return VocoderConfig(**d)
+
+
+def _make(h, key):
+    model = CodeGenerator(h)
+    code = jnp.zeros((1, 8), jnp.int32)
+    f0 = jnp.zeros((1, 8, 1), jnp.float32)
+    spk = jnp.zeros((1, 1), jnp.int32)
+    return model, model.init(key, code, f0, spk)["params"]
+
+
+def test_receptive_field_vctk_config():
+    rf = receptive_field_frames(VocoderConfig())
+    # hand-computed: conv_pre 3 + ConvT windows + 60-frame MRFs at hops
+    # 64/16/4/2/1 + conv_post ~= 6.6k samples ~= 21 code frames
+    assert 18 <= rf <= 24, rf
+
+
+@pytest.mark.parametrize("T", [200, 230, 257])
+def test_streaming_matches_monolithic(T):
+    # chunk=64, context=rf-derived; T values cover: tail shorter than a
+    # chunk (200 -> R=8), tail in the tricky (chunk, chunk+cx) range
+    # (230 -> R=38 with cx=24), and an off-grid prime length
+    h = _thin_config()
+    key = jax.random.key(0)
+    model, params = _make(h, key)
+    rng = np.random.default_rng(1)
+
+    code = rng.integers(0, 100, T).astype(np.int32)
+    f0 = (rng.standard_normal((T, 1)) * 0.5).astype(np.float32)
+    spk = np.array([3], np.int32)
+
+    full = np.asarray(model.apply({"params": params}, code[None],
+                                  f0[None], spk[None])[0])
+    sv = StreamingVocoder(h, params, chunk_frames=64)
+    assert sv.context >= receptive_field_frames(h)
+    out = sv.synthesize(code, f0, spk)
+
+    assert out.shape == full.shape
+    np.testing.assert_allclose(out, full, atol=2e-6, rtol=0)
+
+
+def test_streaming_f0_rate_multiple():
+    # f0 at 4x the code rate (the 80-sample-hop YAAPT contract)
+    h = _thin_config()
+    key = jax.random.key(2)
+    model, params = _make(h, key)
+    rng = np.random.default_rng(3)
+    T = 220
+    code = rng.integers(0, 100, T).astype(np.int32)
+    f0 = (rng.standard_normal((T * 4, 1)) * 0.5).astype(np.float32)
+    spk = np.array([1], np.int32)
+
+    full = np.asarray(model.apply({"params": params}, code[None],
+                                  f0[None], spk[None])[0])
+    out = StreamingVocoder(h, params, chunk_frames=64).synthesize(code, f0, spk)
+    np.testing.assert_allclose(out, full, atol=2e-6, rtol=0)
+
+
+def test_streaming_short_input_fallback():
+    h = _thin_config()
+    key = jax.random.key(4)
+    model, params = _make(h, key)
+    rng = np.random.default_rng(5)
+    T = 40  # < chunk + 2*context -> monolithic path
+    code = rng.integers(0, 100, T).astype(np.int32)
+    f0 = (rng.standard_normal((T, 1)) * 0.5).astype(np.float32)
+    spk = np.array([0], np.int32)
+    full = np.asarray(model.apply({"params": params}, code[None],
+                                  f0[None], spk[None])[0])
+    out = StreamingVocoder(h, params, chunk_frames=64).synthesize(code, f0, spk)
+    np.testing.assert_allclose(out, full, atol=2e-6, rtol=0)
+
+
+def test_streaming_rejects_thin_context():
+    h = _thin_config()
+    key = jax.random.key(6)
+    _, params = _make(h, key)
+    with pytest.raises(ValueError):
+        StreamingVocoder(h, params, chunk_frames=64, context_frames=4)
