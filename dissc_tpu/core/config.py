@@ -103,13 +103,11 @@ class VocoderConfig:
     dp_axis: str = "data"
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
-    # run all MRF branches as one grouped block-diagonal conv at stages
-    # with >= this many channels.  Measured on v5e: the merge wins in the
-    # latency-bound wide stages (256 ch: 1.8 ms vs 3.6 ms — 18 tiny
-    # kernels collapse to 6) and LOSES in the long-T narrow tail where
-    # XLA's small-C layouts are already throughput-bound and the merge
-    # only adds zero-block FLOPs.  0 disables.
-    mrf_merge_min_ch: int = 192
+    # space-to-channel packed MRF for narrow stages: reshape [B,T,C] to
+    # [B,T/P,128] (P=128/C) and run kron-structured 128-lane convs —
+    # full lane utilisation and ~P x fewer executed MACs on the long-T
+    # tail.  Applies when C <= this and C | 128.  0 disables.
+    mrf_pack_max_ch: int = 64
 
     @classmethod
     def from_json(cls, path: str) -> "VocoderConfig":

@@ -52,7 +52,7 @@ class ResBlock1(nn.Module):
     @nn.compact
     def __call__(self, x, collect: bool = False):
         """collect=True returns the folded conv weights per dilation step
-        (for the merged block-diagonal MRF) instead of computing."""
+        (for the space-to-channel packed MRF) instead of computing."""
         weights = []
         for i, d in enumerate(self.dilations):
             c1 = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
@@ -94,59 +94,78 @@ class ResBlock2(nn.Module):
         return x
 
 
-def _merged_mrf(x, banks, kernel_sizes, dilations, dtype=None):
-    """All MRF branches as ONE block-diagonal (grouped) conv chain.
+import functools as _functools
 
-    Stacking the branches on the channel axis ([B, T, nb*ch]) turns
-    each dilation step into a single grouped conv
-    (``feature_group_count=nb``, kernels zero-padded to the widest
-    bank), collapsing 6*nb kernel launches to 6, with identical
-    numerics.  Measured on v5e this wins only in the WIDE early stages
-    (short T, many tiny kernels -> latency-bound: 256 ch 3.6->1.8 ms);
-    the narrow long-T tail is throughput-bound and the zero blocks only
-    add work, so ``mrf_merge_min_ch`` gates it to wide stages.
 
-    ``banks[j][s] = ((k1, b1), (k2, b2))`` — the folded weights of
-    branch j's dilation step s, from ``ResBlock1(..., collect=True)``.
+@_functools.lru_cache(maxsize=64)
+def _pack_routing(k: int, dilation: int, P: int):
+    """Static 0/1 routing tensor [k, kp, P, P]: route[t, m, q', q] = 1
+    iff output slot q's tap t reads pack offset m, input slot q'."""
+    import numpy as _np
+
+    half = (k - 1) // 2
+    offs = [dilation * (i - half) for i in range(k)]
+    m_min = offs[0] // P
+    m_max = (P - 1 + offs[-1]) // P
+    route = _np.zeros((k, m_max - m_min + 1, P, P), _np.float32)
+    for q in range(P):
+        for t, o in enumerate(offs):
+            route[t, (q + o) // P - m_min, (q + o) % P, q] = 1.0
+    return route, m_min, m_max
+
+
+def _pack_kernel(kernel, bias, dilation: int, P: int):
+    """[k, C, C] conv kernel -> kron-structured [k', P*C, P*C] packed kernel.
+
+    Space-to-channel packing: x [B, T, C] reshaped to [B, T/P, P*C] puts
+    P consecutive samples in the lane dim (P*C = 128).  A dilated conv
+    along T becomes a plain conv along packs whose kernel routes output
+    slot q's tap at sample offset ``o`` to pack offset ``m = (q+o)//P``,
+    slot ``q' = (q+o)%P``:  K'[m, q'C+cin, qC+cout] = W[tap, cin, cout].
+    Boundary zero-rows coincide exactly with the unpacked 'same' zero
+    padding, so numerics are identical — but the conv now runs at 128
+    in/out channels (full lanes) with ~(k-1)d/P+1 taps instead of k,
+    i.e. ~P x fewer executed MACs on narrow stages.
     """
-    nb = len(banks)
-    ch = x.shape[-1]
-    kmax = max(kernel_sizes)
-    compute = x.dtype if dtype is None else dtype
+    k, C, _ = kernel.shape
+    route, m_min, m_max = _pack_routing(k, dilation, P)
+    # K'[m, a*C+i, b*C+o] = sum_t route[t,m,a,b] * W[t,i,o] — one einsum,
+    # O(1) ops regardless of P (the routing tensor is a static constant)
+    Kp = jnp.einsum("tmab,tio->maibo", jnp.asarray(route, kernel.dtype), kernel)
+    Kp = Kp.reshape(m_max - m_min + 1, P * C, P * C)
+    bp = None if bias is None else jnp.tile(bias, P)
+    return Kp, bp, (-m_min, m_max)
 
-    def merged(step, which):
-        kern = jnp.zeros((kmax, ch, nb * ch), compute)
-        bias = jnp.zeros((nb * ch,), compute)
-        for j, (ksz, bank) in enumerate(zip(kernel_sizes, banks)):
-            kj, bj = bank[step][which]
-            off = (kmax - ksz) // 2
-            kern = jax.lax.dynamic_update_slice(
-                kern, kj.astype(compute), (off, 0, j * ch))
-            if bj is not None:
-                bias = jax.lax.dynamic_update_slice(
-                    bias, bj.astype(compute), (j * ch,))
-        return kern, bias
 
-    def conv(z, kern, bias, dd):
-        return jax.lax.conv_general_dilated(
-            z, kern, window_strides=(1,),
-            padding=[(same_padding(kmax, dd),) * 2],
-            rhs_dilation=(dd,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=nb,
-        ) + bias
+def _packed_conv(xp, kernel, bias, dilation: int, P: int):
+    Kp, bp, (pl_, pr) = _pack_kernel(kernel, bias, dilation, P)
+    y = jax.lax.conv_general_dilated(
+        xp, Kp.astype(xp.dtype), window_strides=(1,), padding=[(pl_, pr)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y if bp is None else y + bp.astype(xp.dtype)
 
-    X = jnp.concatenate([x] * nb, axis=-1).astype(compute)
-    for s, d in enumerate(dilations):
-        k1, b1 = merged(s, 0)
-        k2, b2 = merged(s, 1)
-        xt = leaky_relu(X)
-        xt = conv(xt, k1, b1, d)
-        xt = leaky_relu(xt)
-        xt = conv(xt, k2, b2, 1)
-        X = xt + X
-    # MRF average = mean over the branch blocks
-    return jnp.mean(X.reshape(X.shape[0], X.shape[1], nb, ch), axis=2)
+
+def _packed_mrf(x, banks, dilations):
+    """MRF over space-to-channel packed activations (narrow tail stages).
+
+    Runs every branch's resblock chain at full 128 lanes; pack/unpack
+    happen once per stage.  Identical numerics to the sequential path.
+    """
+    B, T, ch = x.shape
+    P = 128 // ch
+    xp = x.reshape(B, T // P, P * ch)
+    acc = None
+    for bank in banks:
+        Xb = xp
+        for s, d in enumerate(dilations):
+            (k1, b1), (k2, b2) = bank[s]
+            xt = leaky_relu(Xb)
+            xt = _packed_conv(xt, k1, b1, d, P)
+            xt = leaky_relu(xt)
+            xt = _packed_conv(xt, k2, b2, 1, P)
+            Xb = xt + Xb
+        acc = Xb if acc is None else acc + Xb
+    return (acc / len(banks)).reshape(B, T, ch)
 
 
 class Generator(nn.Module):
@@ -173,17 +192,16 @@ class Generator(nn.Module):
                                 kernel_init=hifigan_init(), dtype=dtype,
                                 name=f"ups_{i}")(x)
             dils = [tuple(rd) for rd in h.resblock_dilation_sizes]
-            min_ch = h.get("mrf_merge_min_ch", 192) or 10 ** 9
-            merge = (h.resblock == "1" and len(set(dils)) == 1
-                     and ch >= min_ch)
             blocks = [resblock_cls(ch, rk, tuple(rd), dtype=dtype,
                                    name=f"resblocks_{i * num_kernels + j}")
                       for j, (rk, rd) in enumerate(
                           zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes))]
-            if merge:
+            pack = (h.resblock == "1" and len(set(dils)) == 1
+                    and 8 <= ch <= h.get("mrf_pack_max_ch", 64)
+                    and 128 % ch == 0 and x.shape[1] % (128 // ch) == 0)
+            if pack:
                 banks = [b(x, collect=True) for b in blocks]
-                x = _merged_mrf(x, banks, list(h.resblock_kernel_sizes),
-                                dils[0], dtype=dtype)
+                x = _packed_mrf(x, banks, dils[0])
             else:
                 acc = None
                 for b in blocks:

@@ -161,7 +161,7 @@ class Conv1d(nn.Module):
         return kernel / sigma
 
 
-def _polyphase_convt(x, rhs, stride, pad, precision):
+def _polyphase_convt(x, rhs, stride, pad, precision, out_len=None, groups=1):
     """Transposed conv as ONE dense stride-1 conv + reshape interleave.
 
     ``rhs`` is the (k, in, out) flipped kernel of the input-dilated
@@ -174,11 +174,21 @@ def _polyphase_convt(x, rhs, stride, pad, precision):
     XLA tiles straight onto the MXU — no ``lhs_dilation``, and ~stride×
     fewer FLOPs than the dilated form (which multiplies mostly zeros).
 
-    Requires ``k - 2*padding == stride`` (true of every HiFi-GAN stage:
-    (11,5,3), (8,4,2), (4,2,1)) so the output length is exactly
-    ``T*stride`` and the phases tile the output evenly.
+    ``out_len`` defaults to ``T*stride`` (the HiFi-GAN upsampler case,
+    ``k - 2*padding == stride``); pass the true transposed-conv output
+    length ``(T-1)*stride - 2*p_t + k`` (with ``pad = k-1-p_t``) for the
+    general case — extra phase rows are computed and trimmed.  ``rhs``
+    may be grouped ([k, in/groups, out] with out group-major); this is
+    also the workhorse of the strided-conv input gradient
+    (:func:`_strided_conv_fast`), where the dilated form is what jax's
+    AD would otherwise emit.
     """
-    k, in_ch, out = rhs.shape
+    k, in_g, out = rhs.shape
+    B, T = x.shape[0], x.shape[1]
+    out_g = out // groups
+    if out_len is None:
+        out_len = T * stride
+    Q = -(-out_len // stride)  # phase rows needed
     phases = []
     for p in range(stride):
         t0 = (pad - p) % stride
@@ -187,21 +197,77 @@ def _polyphase_convt(x, rhs, stride, pad, precision):
         phases.append((taps, shift))
     s_min = min(s for _, s in phases)
     L = max(s - s_min + len(taps) for taps, s in phases)
-    w = jnp.zeros((L, in_ch, stride, out), rhs.dtype)
+    # out channels ordered (group, phase, out_g) so feature_group_count
+    # sees contiguous per-group blocks
+    w = jnp.zeros((L, in_g, groups, stride, out_g), rhs.dtype)
     for p, (taps, shift) in enumerate(phases):
         off = shift - s_min
         for j, t in enumerate(taps):
-            w = w.at[off + j, :, p, :].set(rhs[t])
+            w = w.at[off + j, :, :, p, :].set(rhs[t].reshape(in_g, groups, out_g))
     pl = -s_min
+    pr = Q - T + L - 1 - pl
     y = jax.lax.conv_general_dilated(
         x,
-        w.reshape(L, in_ch, stride * out),
+        w.reshape(L, in_g, groups * stride * out_g),
         window_strides=(1,),
-        padding=[(pl, L - 1 - pl)],
+        padding=[(pl, pr)],
         dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
         precision=precision,
     )
-    return y.reshape(x.shape[0], x.shape[1] * stride, out)
+    if groups > 1:
+        y = y.reshape(B, Q, groups, stride, out_g).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, Q * stride, out)[:, :out_len]
+
+
+import functools as _ft
+
+
+def _conv_plain(x, kernel, stride, pad, groups):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=groups)
+
+
+@_ft.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _strided_conv_fast(x, kernel, stride, pad, groups):
+    """Strided conv whose input-gradient avoids ``lhs_dilation``.
+
+    jax's AD differentiates a strided conv into an input-dilated conv
+    for dx; this wrapper keeps the forward bit-identical and routes dx
+    through the polyphase decomposition instead, with dW delegated to AD
+    on a kernel-closure (an ``rhs_dilation`` conv).  MEASURED NULL
+    RESULT on the discriminator shapes (v5e): the polyphase dx was not
+    faster than XLA's dilated backward there (unlike the generator
+    upsamplers) and inflated compile time, so it is NOT wired into
+    Conv1d/Conv2d — kept (with its AD-equivalence test) as machinery for
+    shapes where the dilated backward does misbehave.
+    """
+    return _conv_plain(x, kernel, stride, pad, groups)
+
+
+def _strided_conv_fwd(x, kernel, stride, pad, groups):
+    return _conv_plain(x, kernel, stride, pad, groups), (x, kernel)
+
+
+def _strided_conv_bwd(stride, pad, groups, res, dy):
+    x, kernel = res
+    _, vjp_w = jax.vjp(lambda W: _conv_plain(x, W, stride, pad, groups), kernel)
+    (dW,) = vjp_w(dy)
+    # dx = transposed conv of dy with the flipped kernel, out_len = T_in;
+    # rhs2[t, o_local, (g, c_local)] = kernel_flip[t, c_local, (g, o_local)]
+    k, in_g, out = kernel.shape
+    out_g = out // groups
+    rhs2 = (jnp.flip(kernel, 0)
+            .reshape(k, in_g, groups, out_g)
+            .transpose(0, 3, 2, 1)            # (k, out_g, groups, in_g)
+            .reshape(k, out_g, groups * in_g))
+    dx = _polyphase_convt(dy, rhs2, stride, k - 1 - pad, None,
+                          out_len=x.shape[1], groups=groups)
+    return dx, dW
+
+
+_strided_conv_fast.defvjp(_strided_conv_fwd, _strided_conv_bwd)
 
 
 class ConvTranspose1d(nn.Module):

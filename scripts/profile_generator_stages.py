@@ -82,9 +82,9 @@ def main():
                 x_in = jnp.asarray(rng.standard_normal((B, t, ch_in)).astype(np.float32) * 0.1)
                 dt_c = chain_time(lambda x: convt.apply(cvars, leaky_relu(x)).astype(jnp.float32), x_in)
 
-                dt_m = dt_mm = 0.0
+                dt_m = dt_pk = 0.0
                 if poly:  # MRF has no polyphase variant; time once per dtype
-                    from dissc_tpu.models.hifigan import _merged_mrf
+                    from dissc_tpu.models.hifigan import _packed_mrf
 
                     mods = [ResBlock1(ch, rk, (1, 3, 5), dtype=dtype)
                             for rk in h.resblock_kernel_sizes]
@@ -97,20 +97,21 @@ def main():
                             acc = y if acc is None else acc + y
                         return (acc / len(mods)).astype(jnp.float32)
 
-                    def mrf_merged(x, mods=mods, mvars=mvars, dtype=dtype):
+                    def mrf_packed(x, mods=mods, mvars=mvars):
                         banks = [m.apply(v, x, collect=True)
                                  for m, v in zip(mods, mvars)]
-                        return _merged_mrf(x, banks, list(h.resblock_kernel_sizes),
-                                           (1, 3, 5), dtype=dtype).astype(jnp.float32)
+                        return _packed_mrf(x, banks, (1, 3, 5)).astype(jnp.float32)
 
                     x_out = jnp.asarray(rng.standard_normal((B, t * u, ch)).astype(np.float32) * 0.1)
                     dt_m = chain_time(mrf, x_out)
-                    dt_mm = chain_time(mrf_merged, x_out)
-                total += dt_c + min(dt_m, dt_mm)
+                    dt_pk = (chain_time(mrf_packed, x_out)
+                             if (128 % ch == 0 and (t * u) % (128 // ch) == 0)
+                             else float("nan"))
+                total += dt_c + min(dt_m, dt_pk if dt_pk == dt_pk else dt_m)
                 print(f"stage {i}: convT {ch_in:4d}->{ch:3d} x{u} k{k:2d} @T={t:6d}: "
                       f"{dt_c*1e3:8.2f} ms"
                       + (f" | MRF {ch:3d}ch @T={t*u:6d}: seq {dt_m*1e3:8.2f} ms"
-                         f" merged {dt_mm*1e3:8.2f} ms" if poly else ""),
+                         f" packed {dt_pk*1e3:8.2f} ms" if poly else ""),
                       flush=True)
                 ch_in = ch
                 t *= u

@@ -3,8 +3,8 @@
 Two rewrites of the same math (both default-on):
   * polyphase ConvTranspose1d (one dense conv + phase interleave) vs the
     input-dilated correlation;
-  * merged block-diagonal MRF (all 3 resblock branches as one grouped
-    conv chain) vs sequential resblocks.
+  * space-to-channel packed MRF (narrow stages as kron-structured
+    128-lane convs) vs sequential resblocks.
 Both must be numerically identical (same params, same outputs, same
 gradients) — the checkpoint format and the reference parity suite pin
 the semantics, these pin the rewrites.
@@ -52,57 +52,64 @@ def test_polyphase_falls_back_when_shapes_dont_tile():
     assert y.shape[1] == (10 - 1) * 2 - 2 * 1 + 5  # 21
 
 
-def _gens():
-    # thin generator: channels 64,32,16,8,4 -> min_ch=1 merges every stage
-    h_m = VocoderConfig(upsample_initial_channel=128, model_in_dim=17,
-                        mrf_merge_min_ch=1)
+def test_packed_mrf_matches_sequential():
+    # channels 64,32,16,8,4 all divide 128 -> packing applies at every
+    # stage (merge disabled); outputs and gradients must be identical
+    h_k = VocoderConfig(upsample_initial_channel=128, model_in_dim=17)
     h_p = VocoderConfig(upsample_initial_channel=128, model_in_dim=17,
-                        mrf_merge_min_ch=0)
-    return Generator(h_m), Generator(h_p)
-
-
-def test_merged_mrf_matches_sequential():
-    gm, gp = _gens()
-    rng = np.random.default_rng(2)
+                        mrf_pack_max_ch=0)
+    rng = np.random.default_rng(8)
     x = jnp.asarray(rng.standard_normal((2, 16, 17)).astype(np.float32) * 0.1)
-    v = gp.init(jax.random.key(3), x)
-    vm = gm.init(jax.random.key(3), x)
-    assert (set(flax.traverse_util.flatten_dict(v["params"]))
-            == set(flax.traverse_util.flatten_dict(vm["params"])))
-    y0 = gp.apply(v, x)
-    y1 = gm.apply(v, x)
-    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
-
-
-def test_merged_mrf_gradients_match():
-    gm, gp = _gens()
-    rng = np.random.default_rng(4)
-    x = jnp.asarray(rng.standard_normal((1, 8, 17)).astype(np.float32) * 0.1)
-    v = gp.init(jax.random.key(5), x)
+    gp, gk = Generator(h_p), Generator(h_k)
+    v = gp.init(jax.random.key(9), x)
+    np.testing.assert_allclose(np.asarray(gp.apply(v, x)),
+                               np.asarray(gk.apply(v, x)), atol=1e-6)
 
     def loss(params, g):
         return jnp.mean(jnp.square(g.apply({"params": params}, x)))
 
-    g0 = jax.grad(loss)(v["params"], gp)
-    g1 = jax.grad(loss)(v["params"], gm)
-    flat0 = flax.traverse_util.flatten_dict(g0)
-    flat1 = flax.traverse_util.flatten_dict(g1)
-    for k in flat0:
-        np.testing.assert_allclose(np.asarray(flat0[k]), np.asarray(flat1[k]),
+    g0 = flax.traverse_util.flatten_dict(jax.grad(loss)(v["params"], gp))
+    g1 = flax.traverse_util.flatten_dict(jax.grad(loss)(v["params"], gk))
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    atol=1e-6, err_msg="/".join(k))
 
 
-def test_merge_respects_channel_cap():
-    # mrf_merge_min_ch=32: only the wide stages (64, 32 ch) merge;
-    # numerics must still match the fully sequential model
-    h_cap = VocoderConfig(upsample_initial_channel=128, model_in_dim=17,
-                          mrf_merge_min_ch=32)
-    h_p = VocoderConfig(upsample_initial_channel=128, model_in_dim=17,
-                        mrf_merge_min_ch=0)
-    rng = np.random.default_rng(6)
-    x = jnp.asarray(rng.standard_normal((1, 12, 17)).astype(np.float32) * 0.1)
-    gp = Generator(h_p)
-    v = gp.init(jax.random.key(7), x)
-    y0 = gp.apply(v, x)
-    y1 = Generator(h_cap).apply(v, x)
-    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+def test_packed_mrf_skips_nondividing_T():
+    # T*320 not divisible by P at some stage -> that stage must fall
+    # back to the sequential path rather than mis-shape; with T=15 the
+    # stage outputs stay divisible (all rates even) so force the skip
+    # via channels that don't divide 128 instead
+    h = VocoderConfig(upsample_initial_channel=96,
+                      model_in_dim=17)  # channels 48,24,12,6,3: 128%ch != 0
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 8, 17)).astype(np.float32) * 0.1)
+    g = Generator(h)
+    v = g.init(jax.random.key(11), x)
+    y = g.apply(v, x)  # must simply run the sequential path
+    assert y.shape == (1, 8 * 320)
+
+
+def test_strided_conv_custom_vjp_matches_ad():
+    # discriminator-shaped strided grouped convs: forward bit-identical,
+    # dx/dW identical to jax AD (which would emit lhs_dilation for dx)
+    from dissc_tpu.models.layers import _conv_plain, _strided_conv_fast
+
+    rng = np.random.default_rng(12)
+    for (k, s, pad, G, Ci, Co, T) in [(41, 2, 20, 4, 16, 24, 64),
+                                      (41, 4, 20, 16, 32, 32, 80),
+                                      (5, 3, 2, 1, 6, 10, 33),
+                                      (3, 2, 1, 1, 4, 4, 9)]:
+        x = jnp.asarray(rng.standard_normal((2, T, Ci)).astype(np.float32))
+        W = jnp.asarray(rng.standard_normal((k, Ci // G, Co)).astype(np.float32) * 0.1)
+        y0 = _conv_plain(x, W, s, pad, G)
+        y1 = _strided_conv_fast(x, W, s, pad, G)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+        def loss(fn, x, W, s=s, pad=pad, G=G):
+            return jnp.sum(jnp.sin(fn(x, W, s, pad, G)))
+
+        g0 = jax.grad(loss, argnums=(1, 2))(_conv_plain, x, W)
+        g1 = jax.grad(loss, argnums=(1, 2))(_strided_conv_fast, x, W)
+        np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=1e-5)
