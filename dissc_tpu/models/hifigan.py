@@ -127,12 +127,12 @@ def _pack_kernel(kernel, bias, dilation: int, P: int):
     in/out channels (full lanes) with ~(k-1)d/P+1 taps instead of k,
     i.e. ~P x fewer executed MACs on narrow stages.
     """
-    k, C, _ = kernel.shape
+    k, cin, cout = kernel.shape
     route, m_min, m_max = _pack_routing(k, dilation, P)
-    # K'[m, a*C+i, b*C+o] = sum_t route[t,m,a,b] * W[t,i,o] — one einsum,
-    # O(1) ops regardless of P (the routing tensor is a static constant)
+    # K'[m, a*Cin+i, b*Cout+o] = sum_t route[t,m,a,b] * W[t,i,o] — one
+    # einsum, O(1) ops regardless of P (the routing is a static constant)
     Kp = jnp.einsum("tmab,tio->maibo", jnp.asarray(route, kernel.dtype), kernel)
-    Kp = Kp.reshape(m_max - m_min + 1, P * C, P * C)
+    Kp = Kp.reshape(m_max - m_min + 1, P * cin, P * cout)
     bp = None if bias is None else jnp.tile(bias, P)
     return Kp, bp, (-m_min, m_max)
 
@@ -215,9 +215,19 @@ class Generator(nn.Module):
         x = leaky_relu(x, 0.01)
         # the waveform head always runs f32: bf16 rounding on the output
         # samples would cost ~8 bits of audio SNR for negligible speed
-        x = Conv1d(1, 7, padding=3, norm="weight", kernel_init=hifigan_init(),
-                   dtype=jnp.float32, name="conv_post")(x.astype(jnp.float32))
-        return jnp.tanh(x)[..., 0]
+        x = x.astype(jnp.float32)
+        post = Conv1d(1, 7, padding=3, norm="weight", kernel_init=hifigan_init(),
+                      dtype=jnp.float32, name="conv_post")
+        ch = x.shape[-1]
+        if (h.get("mrf_pack_max_ch", 64) and 8 <= ch <= 64 and 128 % ch == 0
+                and x.shape[1] % (128 // ch) == 0):
+            # packed waveform head: [B,T,16] -> [B,T/8,128] -> one
+            # 128-lane conv emitting the 8 output samples per row
+            kern, bias = post(x, return_kernel=True)
+            P = 128 // ch
+            y = _packed_conv(x.reshape(x.shape[0], -1, P * ch), kern, bias, 1, P)
+            return jnp.tanh(y.reshape(x.shape[0], -1))
+        return jnp.tanh(post(x))[..., 0]
 
 
 class CodeGenerator(nn.Module):

@@ -113,3 +113,25 @@ def test_strided_conv_custom_vjp_matches_ad():
         g1 = jax.grad(loss, argnums=(1, 2))(_strided_conv_fast, x, W)
         np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=1e-5)
+
+
+def test_packed_waveform_head_matches_plain():
+    # final stage ch=8 (>=8, divides 128) -> the packed conv_post path
+    h_k = VocoderConfig(upsample_initial_channel=256, model_in_dim=17)
+    h_p = VocoderConfig(upsample_initial_channel=256, model_in_dim=17,
+                        mrf_pack_max_ch=0)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 8, 17)).astype(np.float32) * 0.1)
+    gp, gk = Generator(h_p), Generator(h_k)
+    v = gp.init(jax.random.key(14), x)
+    np.testing.assert_allclose(np.asarray(gp.apply(v, x)),
+                               np.asarray(gk.apply(v, x)), atol=1e-6)
+
+    def loss(params, g):
+        return jnp.mean(jnp.square(g.apply({"params": params}, x)))
+
+    g0 = flax.traverse_util.flatten_dict(jax.grad(loss)(v["params"], gp))
+    g1 = flax.traverse_util.flatten_dict(jax.grad(loss)(v["params"], gk))
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   atol=1e-6, err_msg="/".join(k))
