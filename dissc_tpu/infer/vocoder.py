@@ -53,16 +53,31 @@ class VocoderEngine:
     """Jitted batched HiFi-GAN synthesis."""
 
     def __init__(self, h: VocoderConfig, gen_params,
-                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS):
+                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+                 stream_long: bool = True, stream_chunk: int = 512):
         self.h = h
         self.model = CodeGenerator(h)
         self.params = gen_params
         self.frame_buckets = frame_buckets
+        self.stream_long = stream_long
+        self.stream_chunk = stream_chunk
+        self._streamer = None
         self._jitted = jax.jit(
             lambda params, code, f0, spkr: self.model.apply(
                 {"params": params}, code, f0, spkr
             )
         )
+
+    def _streamer_for_long(self):
+        # long-form path: utterances beyond the last bucket stream in
+        # fixed chunks (2 compiled programs, constant memory, bit-exact)
+        # instead of compiling a fresh ad-hoc bucket per 256 frames
+        if self._streamer is None:
+            from dissc_tpu.infer.streaming import StreamingVocoder
+
+            self._streamer = StreamingVocoder(
+                self.h, self.params, chunk_frames=self.stream_chunk)
+        return self._streamer
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, **kw) -> "VocoderEngine":
@@ -99,9 +114,23 @@ class VocoderEngine:
         """
         out: List[Optional[np.ndarray]] = [None] * len(items)
         groups: Dict[int, List[int]] = {}
-        for i, it in enumerate(items):
-            groups.setdefault(_bucket(len(it["code"]), self.frame_buckets), []).append(i)
         rtfs = []
+        long_idx = []
+        for i, it in enumerate(items):
+            if self.stream_long and len(it["code"]) > self.frame_buckets[-1]:
+                long_idx.append(i)
+            else:
+                groups.setdefault(_bucket(len(it["code"]), self.frame_buckets), []).append(i)
+        for i in long_idx:
+            it = items[i]
+            start = time.time()
+            wav = self._streamer_for_long().synthesize(
+                it["code"],
+                it.get("f0") if self.h.f0 else None,
+                it.get("spkr") if self.h.multispkr else None,
+            )
+            rtfs.append((time.time() - start) / (wav.size / self.h.sampling_rate))
+            out[i] = wav[: len(it["code"]) * self.h.code_hop_size]
         for cap, idxs in groups.items():
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s : s + batch_size]

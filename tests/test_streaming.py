@@ -95,3 +95,26 @@ def test_streaming_rejects_thin_context():
     _, params = _make(h, key)
     with pytest.raises(ValueError):
         StreamingVocoder(h, params, chunk_frames=64, context_frames=4)
+
+
+def test_engine_streams_past_last_bucket():
+    # utterances longer than the last bucket go through the streaming
+    # path and must match the monolithic forward exactly
+    from dissc_tpu.infer.vocoder import VocoderEngine
+
+    h = _thin_config()
+    key = jax.random.key(20)
+    model, params = _make(h, key)
+    rng = np.random.default_rng(21)
+    T = 200
+    code = rng.integers(0, 100, T).astype(np.int32)
+    f0 = (rng.standard_normal((T, 1)) * 0.5).astype(np.float32)
+    spk = np.array([2], np.int32)
+
+    full = np.asarray(model.apply({"params": params}, code[None],
+                                  f0[None], spk[None])[0])
+    eng = VocoderEngine(h, params, frame_buckets=(32, 64), stream_chunk=64)
+    wavs, rtf = eng.synthesize_utterances(
+        [{"code": code, "f0": f0, "spkr": spk}])
+    np.testing.assert_allclose(wavs[0], full, atol=2e-6, rtol=0)
+    assert rtf > 0
