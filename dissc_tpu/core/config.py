@@ -108,6 +108,15 @@ class VocoderConfig:
     # full lane utilisation and ~P x fewer executed MACs on the long-T
     # tail.  Applies when C <= this and C | 128.  0 disables.
     mrf_pack_max_ch: int = 64
+    # Space-to-depth lowering for the discriminators' strided convs
+    # (models.layers._strided_conv_s2d): identical math and params,
+    # stride-1 MXU execution whose AD backward avoids lhs_dilation.
+    disc_s2d: bool = False
+    # True when the generator's weight-norm (v, g) pairs have been folded
+    # into direct kernels (models.layers.fold_weight_norm) — the
+    # inference-time ``remove_weight_norm`` equivalent.  Modules then
+    # declare plain ``kernel`` params so the folded tree applies directly.
+    folded_weights: bool = False
 
     @classmethod
     def from_json(cls, path: str) -> "VocoderConfig":

@@ -5,8 +5,10 @@ The reference synthesizes whole utterances in one generator call
 podcasts) means unbounded activation memory and one giant XLA program
 per length.  This module synthesizes arbitrarily long unit sequences as
 fixed-size chunks with enough *real* left/right context that the output
-is **bit-exact** vs the monolithic forward (the generator is fully
-convolutional: a sample only depends on codes within its receptive
+is numerically identical to the monolithic forward up to float
+tolerance (~2e-6 — differing program shapes can legitimately change XLA
+fusion/reduction order; the *math* is exact: the generator is fully
+convolutional, so a sample only depends on codes within its receptive
 field).
 
 Design:
@@ -67,7 +69,7 @@ def receptive_field_frames(h: VocoderConfig) -> int:
 
 
 class StreamingVocoder:
-    """Chunked synthesis, bit-exact vs the monolithic generator forward."""
+    """Chunked synthesis, numerically matching the monolithic forward."""
 
     def __init__(self, h: VocoderConfig, gen_params,
                  chunk_frames: int = 512, context_frames: Optional[int] = None):
@@ -108,9 +110,15 @@ class StreamingVocoder:
         r = 1
         if f0 is not None:
             f0 = np.asarray(f0, np.float32).reshape(-1, 1)
-            if len(f0) % T:
-                raise ValueError(f"f0 length {len(f0)} not a multiple of code length {T}")
-            r = len(f0) // T
+            # real YAAPT contours (frames ~= audio/80) are rarely an exact
+            # multiple of the code length — pad with zeros / trim to the
+            # nearest multiple, the same tolerance as the bucketed path
+            r = max(1, int(round(len(f0) / max(T, 1))))
+            if len(f0) != T * r:
+                buf = np.zeros((T * r, 1), np.float32)
+                n = min(len(f0), T * r)
+                buf[:n] = f0[:n]
+                f0 = buf
         # when f0 is finer than the code rate, the conditioning (and the
         # output) runs at the f0 rate: r*hop samples per code frame
         # (reference ``sr/models.py:206-211`` upsamples the coarser side)

@@ -54,13 +54,31 @@ class VocoderEngine:
 
     def __init__(self, h: VocoderConfig, gen_params,
                  frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
-                 stream_long: bool = True, stream_chunk: int = 512):
+                 stream_long: bool = True, stream_chunk: int = 512,
+                 exact_lengths: bool = False, fold_weights: bool = True):
+        if fold_weights and not h.get("folded_weights"):
+            # remove_weight_norm equivalent: fold every (v, g) pair into a
+            # direct kernel once, so apply() skips the per-call
+            # normalisation (reference ``sr/inference.py:160``)
+            import dataclasses
+
+            from dissc_tpu.models.layers import fold_weight_norm
+
+            gen_params = fold_weight_norm(gen_params)
+            h = dataclasses.replace(h, folded_weights=True)
         self.h = h
         self.model = CodeGenerator(h)
         self.params = gen_params
         self.frame_buckets = frame_buckets
         self.stream_long = stream_long
         self.stream_chunk = stream_chunk
+        # exact_lengths: synthesize each utterance at its true frame count
+        # (one compiled program per distinct length, batched over items
+        # sharing a length) — the reference's always-exact behaviour
+        # (sr/inference.py:189-205).  Off by default: bucket padding only
+        # perturbs the final ~receptive-field of audio (~60 ms) and
+        # compiles O(len(buckets)) programs instead of O(distinct lengths).
+        self.exact_lengths = exact_lengths
         self._streamer = None
         self._jitted = jax.jit(
             lambda params, code, f0, spkr: self.model.apply(
@@ -112,15 +130,42 @@ class VocoderEngine:
         ``spkr`` [1].  Returns waveforms cut to each true length and the
         mean RTF.
         """
+        # Normalise each item's f0 to an exact integer multiple r of the
+        # code length (pad with zeros / trim — the same tolerance on every
+        # path).  r > 1 means finer-rate conditioning (e.g. YAAPT's
+        # 80-sample hop = 4x the code rate): the generator then runs at
+        # the f0 rate and emits r*hop samples per code frame (reference
+        # ``sr/models.py:206-211``), so batches are grouped by (bucket, r)
+        # and outputs trimmed with the effective rate.
+        rates = [1] * len(items)
+        norm_items: List[Dict[str, np.ndarray]] = []
+        for i, it in enumerate(items):
+            it = dict(it)
+            if self.h.f0 and it.get("f0") is not None:
+                ff = np.asarray(it["f0"], np.float32).reshape(-1)
+                T = len(it["code"])
+                r = max(1, int(round(len(ff) / max(T, 1))))
+                if len(ff) != T * r:
+                    buf = np.zeros(T * r, np.float32)
+                    n = min(len(ff), T * r)
+                    buf[:n] = ff[:n]
+                    ff = buf
+                it["f0"] = ff.reshape(-1, 1)
+                rates[i] = r
+            norm_items.append(it)
+        items = norm_items
+
         out: List[Optional[np.ndarray]] = [None] * len(items)
-        groups: Dict[int, List[int]] = {}
+        groups: Dict[Tuple[int, int], List[int]] = {}
         rtfs = []
         long_idx = []
         for i, it in enumerate(items):
             if self.stream_long and len(it["code"]) > self.frame_buckets[-1]:
                 long_idx.append(i)
             else:
-                groups.setdefault(_bucket(len(it["code"]), self.frame_buckets), []).append(i)
+                cap = (len(it["code"]) if self.exact_lengths
+                       else _bucket(len(it["code"]), self.frame_buckets))
+                groups.setdefault((cap, rates[i]), []).append(i)
         for i in long_idx:
             it = items[i]
             start = time.time()
@@ -129,21 +174,21 @@ class VocoderEngine:
                 it.get("f0") if self.h.f0 else None,
                 it.get("spkr") if self.h.multispkr else None,
             )
-            rtfs.append((time.time() - start) / (wav.size / self.h.sampling_rate))
-            out[i] = wav[: len(it["code"]) * self.h.code_hop_size]
-        for cap, idxs in groups.items():
+            out[i] = wav[: len(it["code"]) * rates[i] * self.h.code_hop_size]
+            rtfs.append((time.time() - start) / (out[i].size / self.h.sampling_rate))
+        for (cap, r), idxs in groups.items():
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s : s + batch_size]
                 B = len(chunk)
                 code = np.zeros((B, cap), np.int32)
-                f0 = np.zeros((B, cap, 1), np.float32)
+                f0 = np.zeros((B, cap * r, 1), np.float32)
                 spkr = np.zeros((B, 1), np.int32)
                 for j, i in enumerate(chunk):
                     c = items[i]["code"]
                     code[j, : len(c)] = c
                     code[j, len(c) :] = c[-1]  # edge-replicate padding
                     if "f0" in items[i] and items[i]["f0"] is not None:
-                        ff = items[i]["f0"].reshape(-1)[:cap]
+                        ff = items[i]["f0"].reshape(-1)
                         f0[j, : len(ff), 0] = ff
                     if "spkr" in items[i] and items[i]["spkr"] is not None:
                         spkr[j, 0] = items[i]["spkr"][0]
@@ -152,7 +197,7 @@ class VocoderEngine:
                 )
                 rtfs.append(rtf)
                 for j, i in enumerate(chunk):
-                    n = len(items[i]["code"]) * self.h.code_hop_size
+                    n = len(items[i]["code"]) * r * self.h.code_hop_size
                     out[i] = y[j, :n]
         return out, float(np.mean(rtfs)) if rtfs else 0.0
 

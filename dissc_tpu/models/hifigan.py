@@ -48,6 +48,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
     dtype: Any = None
+    norm: Optional[str] = "weight"
 
     @nn.compact
     def __call__(self, x, collect: bool = False):
@@ -55,10 +56,10 @@ class ResBlock1(nn.Module):
         (for the space-to-channel packed MRF) instead of computing."""
         weights = []
         for i, d in enumerate(self.dilations):
-            c1 = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
+            c1 = Conv1d(self.channels, self.kernel_size, dilation=d, norm=self.norm,
                         kernel_init=hifigan_init(), dtype=self.dtype,
                         name=f"convs1_{i}")
-            c2 = Conv1d(self.channels, self.kernel_size, dilation=1, norm="weight",
+            c2 = Conv1d(self.channels, self.kernel_size, dilation=1, norm=self.norm,
                         kernel_init=hifigan_init(), dtype=self.dtype,
                         name=f"convs2_{i}")
             if collect:
@@ -82,12 +83,13 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
     dtype: Any = None
+    norm: Optional[str] = "weight"
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x)
-            xt = Conv1d(self.channels, self.kernel_size, dilation=d, norm="weight",
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d, norm=self.norm,
                         kernel_init=hifigan_init(), dtype=self.dtype,
                         name=f"convs_{i}")(xt)
             x = xt + x
@@ -182,17 +184,20 @@ class Generator(nn.Module):
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         dtype = _resolve_dtype(h.get("compute_dtype"))
+        # folded inference: (v, g) pairs pre-folded into direct kernels
+        # (fold_weight_norm) -> modules declare plain 'kernel' params
+        wn = None if h.get("folded_weights") else "weight"
 
-        x = Conv1d(h.upsample_initial_channel, 7, padding=3, norm="weight",
+        x = Conv1d(h.upsample_initial_channel, 7, padding=3, norm=wn,
                    dtype=dtype, name="conv_pre")(x)
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             ch = h.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x)
-            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, norm="weight",
+            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, norm=wn,
                                 kernel_init=hifigan_init(), dtype=dtype,
                                 name=f"ups_{i}")(x)
             dils = [tuple(rd) for rd in h.resblock_dilation_sizes]
-            blocks = [resblock_cls(ch, rk, tuple(rd), dtype=dtype,
+            blocks = [resblock_cls(ch, rk, tuple(rd), dtype=dtype, norm=wn,
                                    name=f"resblocks_{i * num_kernels + j}")
                       for j, (rk, rd) in enumerate(
                           zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes))]
@@ -216,11 +221,13 @@ class Generator(nn.Module):
         # the waveform head always runs f32: bf16 rounding on the output
         # samples would cost ~8 bits of audio SNR for negligible speed
         x = x.astype(jnp.float32)
-        post = Conv1d(1, 7, padding=3, norm="weight", kernel_init=hifigan_init(),
+        post = Conv1d(1, 7, padding=3, norm=wn, kernel_init=hifigan_init(),
                       dtype=jnp.float32, name="conv_post")
         ch = x.shape[-1]
-        if (h.get("mrf_pack_max_ch", 64) and 8 <= ch <= 64 and 128 % ch == 0
-                and x.shape[1] % (128 // ch) == 0):
+        # same C <= mrf_pack_max_ch bound as the MRF pack, so the config
+        # knob restricts/disables both packed paths consistently
+        if (8 <= ch <= min(64, h.get("mrf_pack_max_ch", 64) or 0)
+                and 128 % ch == 0 and x.shape[1] % (128 // ch) == 0):
             # packed waveform head: [B,T,16] -> [B,T/8,128] -> one
             # 128-lane conv emitting the 8 output samples per row
             kern, bias = post(x, return_kernel=True)

@@ -109,6 +109,33 @@ def test_compute_eer_separable():
     assert 0.0 < overlapped_eer <= 0.5
 
 
+def test_compute_eer_matches_bruteforce():
+    # the sort-based sweep must agree with the direct per-threshold scan
+    rng = np.random.default_rng(7)
+    pos = rng.normal(0.4, 0.3, 400)
+    neg = rng.normal(-0.1, 0.3, 600)
+    eer, thr = compute_eer(pos, neg)
+    thresholds = np.unique(np.concatenate([pos, neg]))
+    far = np.array([(neg >= t).mean() for t in thresholds])
+    frr = np.array([(pos < t).mean() for t in thresholds])
+    i = int(np.argmin(np.abs(far - frr)))
+    assert eer == (far[i] + frr[i]) / 2.0
+    assert thr == thresholds[i]
+
+
+def test_compute_eer_large_scale_fast():
+    # VCTK-scale pair list (~10k) must complete near-instantly
+    import time
+
+    rng = np.random.default_rng(8)
+    pos = rng.normal(0.5, 0.2, 5000)
+    neg = rng.normal(0.0, 0.2, 5000)
+    t0 = time.time()
+    eer, _ = compute_eer(pos, neg)
+    assert time.time() - t0 < 1.0
+    assert 0.0 < eer < 0.25
+
+
 def _tone(f0, n, sr=16000):
     t = np.arange(n) / sr
     return (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
