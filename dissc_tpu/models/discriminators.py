@@ -39,6 +39,7 @@ class DiscriminatorP(nn.Module):
     stride: int = 3
     use_spectral_norm: bool = False
     fold_to_batch: bool = True
+    s2d: bool = False  # space-to-depth strided convs (layers._strided_conv_s2d)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,7 +59,7 @@ class DiscriminatorP(nn.Module):
         def conv(z, ch, k, s, p, name):
             # rank-3 input takes Conv2d's 1D fast path; params stay 2D-shaped
             return Conv2d(ch, (k, 1), strides=(s, 1), padding=(p, 0), norm=norm,
-                          name=name)(z, train)
+                          s2d=self.s2d, name=name)(z, train)
 
         fmap = []
         pad = same_padding(5, 1)
@@ -85,12 +86,13 @@ class MultiPeriodDiscriminator(nn.Module):
     """5 period discriminators at primes 2,3,5,7,11 (reference ``sr/models.py:263-282``)."""
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, y, y_hat, train: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
-            d = DiscriminatorP(p, name=f"disc_{i}")
+            d = DiscriminatorP(p, s2d=self.s2d, name=f"disc_{i}")
             s_r, f_r = d(y, train)
             s_g, f_g = d(y_hat, train)
             y_d_rs.append(s_r)
@@ -104,6 +106,7 @@ class DiscriminatorS(nn.Module):
     """Scale discriminator: grouped wide 1D convs (reference ``sr/models.py:285-307``)."""
 
     use_spectral_norm: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -123,7 +126,7 @@ class DiscriminatorS(nn.Module):
         ]
         for i, (ch, k, s, g, p) in enumerate(specs):
             x = Conv1d(ch, k, stride=s, groups=g, padding=p, norm=norm,
-                       name=f"convs_{i}")(x, train)
+                       s2d=self.s2d, name=f"convs_{i}")(x, train)
             x = leaky_relu(x)
             fmap.append(x)
         x = Conv1d(1, 3, padding=1, norm=norm, name="conv_post")(x, train)
@@ -146,6 +149,8 @@ class MultiScaleDiscriminator(nn.Module):
     First scale uses spectral norm (reference ``sr/models.py:310-333``).
     """
 
+    s2d: bool = False
+
     @nn.compact
     def __call__(self, y, y_hat, train: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
@@ -153,7 +158,8 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)
-            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"disc_{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), s2d=self.s2d,
+                               name=f"disc_{i}")
             s_r, f_r = d(y, train)
             s_g, f_g = d(y_hat, train)
             y_d_rs.append(s_r)

@@ -65,7 +65,9 @@ class GANState(NamedTuple):
 
 
 def make_models(h: VocoderConfig):
-    return CodeGenerator(h), MultiPeriodDiscriminator(), MultiScaleDiscriminator()
+    s2d = bool(h.get("disc_s2d"))
+    return (CodeGenerator(h), MultiPeriodDiscriminator(s2d=s2d),
+            MultiScaleDiscriminator(s2d=s2d))
 
 
 def init_gan_state(h: VocoderConfig, rng, seg_frames: Optional[int] = None,

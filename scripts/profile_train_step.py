@@ -58,8 +58,9 @@ def main():
                                                  MultiScaleDiscriminator)
     from dissc_tpu.train.vocoder_trainer import _pick_mel_fn
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    h = VocoderConfig(batch_size=B)
+    args_ = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args_[0]) if args_ else 64
+    h = VocoderConfig(batch_size=B, disc_s2d="--s2d" in sys.argv)
     Tc = h.segment_size // h.code_hop_size  # 28 code frames
     rng = np.random.default_rng(0)
     key = jax.random.key(0)
@@ -89,9 +90,9 @@ def main():
     dt = chain_time(lambda w: jax.grad(lambda ww: jnp.mean(jnp.abs(mel_fn(ww))))(w), (y,))
     print(f"mel fwd+bwd:          {dt*1e3:8.1f} ms", flush=True)
 
-    mpd = MultiPeriodDiscriminator()
+    mpd = MultiPeriodDiscriminator(s2d=h.disc_s2d)
     mpd_vars = mpd.init(key, y[:2], y[:2])
-    msd = MultiScaleDiscriminator()
+    msd = MultiScaleDiscriminator(s2d=h.disc_s2d)
     msd_vars = msd.init(key, y[:2], y[:2])
 
     def mpd_fwd(a, b):
@@ -132,16 +133,17 @@ def main2():
     from dissc_tpu.losses.gan import discriminator_loss, feature_loss, generator_loss
 
     args = [a for a in sys.argv[1:] if a != "--grads"]
+    args = [a for a in args if not a.startswith("--")]
     B = int(args[0]) if args else 64
-    h = VocoderConfig(batch_size=B)
+    h = VocoderConfig(batch_size=B, disc_s2d="--s2d" in sys.argv)
     rng = np.random.default_rng(0)
     key = jax.random.key(0)
     y = jnp.asarray((rng.standard_normal((B, h.segment_size)) * 0.3).astype(np.float32))
     yh = jnp.asarray((rng.standard_normal((B, h.segment_size)) * 0.3).astype(np.float32))
 
-    mpd = MultiPeriodDiscriminator()
+    mpd = MultiPeriodDiscriminator(s2d=h.disc_s2d)
     mpd_vars = mpd.init(key, y[:2], y[:2])
-    msd = MultiScaleDiscriminator()
+    msd = MultiScaleDiscriminator(s2d=h.disc_s2d)
     msd_vars = msd.init(key, y[:2], y[:2])
 
     for name, mod, vars_ in (("MPD", mpd, mpd_vars), ("MSD", msd, msd_vars)):

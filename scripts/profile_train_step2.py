@@ -41,8 +41,9 @@ def main():
     from dissc_tpu.core.config import VocoderConfig
     from dissc_tpu.train.vocoder_trainer import init_gan_state, make_gan_train_step
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    h = VocoderConfig(batch_size=B)
+    args_ = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args_[0]) if args_ else 64
+    h = VocoderConfig(batch_size=B, disc_s2d="--s2d" in sys.argv)
     seg_frames = h.segment_size // h.code_hop_size
     state, gen_tx, disc_tx = init_gan_state(h, jax.random.key(0), seg_frames)
     train_step, _ = make_gan_train_step(h, gen_tx, disc_tx)

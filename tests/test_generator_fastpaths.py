@@ -115,6 +115,66 @@ def test_strided_conv_custom_vjp_matches_ad():
         np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=1e-5)
 
 
+def test_strided_conv_s2d_matches_plain():
+    # space-to-depth strided conv: same math as the native strided conv
+    # (AD then derives a stride-1 backward with no lhs_dilation)
+    from dissc_tpu.models.layers import _conv_plain, _strided_conv_s2d
+
+    rng = np.random.default_rng(21)
+    for (k, s, pad, G, Ci, Co, T) in [(41, 2, 20, 4, 16, 24, 64),
+                                      (41, 2, 20, 16, 32, 32, 80),
+                                      (41, 4, 20, 16, 32, 32, 96),
+                                      (5, 3, 2, 1, 6, 10, 33),
+                                      (4, 2, 1, 1, 4, 4, 10),
+                                      (3, 2, 1, 1, 4, 4, 9)]:
+        x = jnp.asarray(rng.standard_normal((2, T, Ci)).astype(np.float32))
+        W = jnp.asarray(rng.standard_normal((k, Ci // G, Co)).astype(np.float32) * 0.1)
+        y0 = _conv_plain(x, W, s, pad, G)
+        y1 = _strided_conv_s2d(x, W, s, pad, G)
+        assert y0.shape == y1.shape, (k, s, pad, G)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5,
+                                   err_msg=str((k, s, pad, G)))
+
+        def loss(fn, x, W, s=s, pad=pad, G=G):
+            return jnp.sum(jnp.sin(fn(x, W, s, pad, G)))
+
+        g0 = jax.grad(loss, argnums=(1, 2))(_conv_plain, x, W)
+        g1 = jax.grad(loss, argnums=(1, 2))(_strided_conv_s2d, x, W)
+        np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=1e-5)
+
+
+def test_discriminators_s2d_equivalent():
+    # full MPD+MSD with the s2d lowering: identical param tree, same
+    # scores/fmaps and same input-gradient as the native strided path
+    from dissc_tpu.models.discriminators import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+    )
+
+    rng = np.random.default_rng(22)
+    y = jnp.asarray(rng.standard_normal((2, 1280)).astype(np.float32) * 0.3)
+    y_hat = jnp.asarray(rng.standard_normal((2, 1280)).astype(np.float32) * 0.3)
+    for cls in (MultiPeriodDiscriminator, MultiScaleDiscriminator):
+        d0, d1 = cls(s2d=False), cls(s2d=True)
+        v = d0.init(jax.random.key(23), y, y_hat)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+            d1.init(jax.random.key(23), y, y_hat))
+
+        def score_sum(yh, d, v=v):
+            if "spectral" in v:
+                (rs, gs, fr, fg), _ = d.apply(v, y, yh, mutable=["spectral"])
+            else:
+                rs, gs, fr, fg = d.apply(v, y, yh)
+            return (sum(jnp.sum(jnp.sin(s)) for s in gs)
+                    + sum(jnp.sum(jnp.sin(f)) for fm in fg for f in fm))
+
+        s0, g0 = jax.value_and_grad(score_sum)(y_hat, d0)
+        s1, g1 = jax.value_and_grad(score_sum)(y_hat, d1)
+        np.testing.assert_allclose(float(s0), float(s1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=2e-5)
+
+
 def test_packed_waveform_head_matches_plain():
     # final stage ch=8 (>=8, divides 128) -> the packed conv_post path
     h_k = VocoderConfig(upsample_initial_channel=256, model_in_dim=17)
