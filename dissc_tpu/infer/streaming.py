@@ -72,10 +72,17 @@ class StreamingVocoder:
     """Chunked synthesis, numerically matching the monolithic forward."""
 
     def __init__(self, h: VocoderConfig, gen_params,
-                 chunk_frames: int = 512, context_frames: Optional[int] = None):
+                 chunk_frames: int = 512, context_frames: Optional[int] = None,
+                 pipeline_depth: int = 2):
         self.h = h
         self.model = CodeGenerator(h)
         self.params = gen_params
+        # overlapped dispatch: keep up to this many chunks in flight on
+        # the device before fetching the oldest — the host-side copy of
+        # chunk i then overlaps the device computing chunk i+1 (jax
+        # async dispatch), hiding per-chunk round-trip latency.  1 = the
+        # serial dispatch-fetch-dispatch pattern.
+        self.pipeline_depth = max(1, pipeline_depth)
         self.hop = int(np.prod(h.upsample_rates))
         rf = receptive_field_frames(h)
         self.context = context_frames if context_frames is not None else ((rf + 7) // 8) * 8
@@ -90,12 +97,16 @@ class StreamingVocoder:
             lambda params, code, f0, spkr: self.model.apply(
                 {"params": params}, code, f0, spkr))
 
+    def _dispatch(self, code_w: np.ndarray, f0_w: Optional[np.ndarray],
+                  spkr: Optional[np.ndarray]):
+        """Async-dispatch one window; returns the device array (unfetched)."""
+        return self._jitted(self.params, jnp.asarray(code_w[None]),
+                            None if f0_w is None else jnp.asarray(f0_w[None]),
+                            None if spkr is None else jnp.asarray(spkr[None]))
+
     def _run(self, code_w: np.ndarray, f0_w: Optional[np.ndarray],
              spkr: Optional[np.ndarray]) -> np.ndarray:
-        y = self._jitted(self.params, jnp.asarray(code_w[None]),
-                         None if f0_w is None else jnp.asarray(f0_w[None]),
-                         None if spkr is None else jnp.asarray(spkr[None]))
-        return np.asarray(y[0])
+        return np.asarray(self._dispatch(code_w, f0_w, spkr)[0])
 
     def synthesize(self, code: np.ndarray, f0: Optional[np.ndarray] = None,
                    spkr: Optional[np.ndarray] = None) -> np.ndarray:
@@ -130,25 +141,40 @@ class StreamingVocoder:
 
         out = np.empty(T * eff, np.float32)
 
-        def window(lo: int, hi: int) -> np.ndarray:
-            return self._run(code[lo:hi],
-                             None if f0 is None else f0[lo * r : hi * r], spkr)
-
+        # window plan: (code_lo, code_hi, out_lo, out_hi, y_lo, y_hi) with
+        # out[out_lo:out_hi] = y[y_lo:y_hi] (sample units)
         # first chunk: window flush with the signal start (zero padding
         # inside the convs == the monolithic program's padding)
-        y = window(0, ch + cx)
-        out[: ch * eff] = y[: ch * eff]
+        plan = [(0, ch + cx, 0, ch * eff, 0, ch * eff)]
         # interior chunks: full real context both sides
         s = ch
         while s + ch + cx <= T:
-            y = window(s - cx, s + ch + cx)
-            out[s * eff : (s + ch) * eff] = y[cx * eff : (cx + ch) * eff]
+            plan.append((s - cx, s + ch + cx, s * eff, (s + ch) * eff,
+                         cx * eff, (cx + ch) * eff))
             s += ch
         # tail: an interior-SHAPED window (ch + 2*cx frames — reuses the
         # interior compile) flush with the signal end.  The remaining
         # R = T - s < ch + cx frames keep >= cx frames of real left
         # context inside it, so the tail is exact too.
         if s < T:
-            y = window(T - (ch + 2 * cx), T)
-            out[s * eff :] = y[-(T - s) * eff :]
+            wlen = (ch + 2 * cx) * eff
+            plan.append((T - (ch + 2 * cx), T, s * eff, T * eff,
+                         wlen - (T - s) * eff, wlen))
+
+        # overlapped dispatch: keep up to pipeline_depth windows in
+        # flight; fetching chunk i overlaps the device computing i+1
+        pending = []
+
+        def flush_one():
+            (o_lo, o_hi, y_lo, y_hi), y_dev = pending.pop(0)
+            out[o_lo:o_hi] = np.asarray(y_dev[0])[y_lo:y_hi]
+
+        for (lo, hi, o_lo, o_hi, y_lo, y_hi) in plan:
+            y_dev = self._dispatch(
+                code[lo:hi], None if f0 is None else f0[lo * r : hi * r], spkr)
+            pending.append(((o_lo, o_hi, y_lo, y_hi), y_dev))
+            if len(pending) > self.pipeline_depth:
+                flush_one()
+        while pending:
+            flush_one()
         return out
