@@ -43,7 +43,9 @@ def main():
 
     args_ = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args_[0]) if args_ else 64
-    h = VocoderConfig(batch_size=B, disc_s2d="--s2d" in sys.argv)
+    h = VocoderConfig(batch_size=B, disc_s2d="--s2d" in sys.argv,
+                      compute_dtype="bfloat16" if "--bf16" in sys.argv
+                      else "float32")
     seg_frames = h.segment_size // h.code_hop_size
     state, gen_tx, disc_tx = init_gan_state(h, jax.random.key(0), seg_frames)
     train_step, _ = make_gan_train_step(h, gen_tx, disc_tx)
