@@ -112,6 +112,11 @@ class VocoderConfig:
     # (models.layers._strided_conv_s2d): identical math and params,
     # stride-1 MXU execution whose AD backward avoids lhs_dilation.
     disc_s2d: bool = False
+    # Discriminator compute dtype for training ('float32' | 'bfloat16').
+    # bf16 runs the MPD/MSD conv stacks (the dominant GAN-step cost) at
+    # 2x MXU peak; params, weight/spectral-norm reparameterisations and
+    # all loss reductions stay f32 (losses/gan.py accumulates in f32).
+    disc_compute_dtype: str = "float32"
     # True when the generator's weight-norm (v, g) pairs have been folded
     # into direct kernels (models.layers.fold_weight_norm) — the
     # inference-time ``remove_weight_norm`` equivalent.  Modules then

@@ -231,7 +231,7 @@ class CodeDataset:
 
     def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                 use_native: bool = True, process_index: int = 0,
-                process_count: int = 1) -> Iterator[Dict]:
+                process_count: int = 1, drop_last: bool = True) -> Iterator[Dict]:
         """Fixed-shape stacked batches (training mode only).
 
         ``use_native``: route the audio crops through the C++ threaded
@@ -260,6 +260,13 @@ class CodeDataset:
             total = -(-len(order) // process_count) * process_count
             order = np.resize(order, total)  # wrap-around pad
             order = order[process_index::process_count]
+        if not drop_last and len(order) % batch_size:
+            # wrap-around pad the final partial batch to the fixed batch
+            # shape (keeps every program shape static); callers that need
+            # exact per-item semantics trim the duplicated tail (the
+            # trainer's validation collects per-item errors and keeps the
+            # first len(dataset))
+            order = np.resize(order, -(-len(order) // batch_size) * batch_size)
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idxs = order[start : start + batch_size]
             if not native:

@@ -1,7 +1,17 @@
-"""LS-GAN + feature-matching losses (reference ``sr/models.py:352-383``)."""
+"""LS-GAN + feature-matching losses (reference ``sr/models.py:352-383``).
+
+All reductions accumulate in float32 even when the discriminators run a
+bfloat16 trunk (``disc_compute_dtype``): the casts fuse into the
+abs/square+reduce kernels, so the f32 path is unchanged and the bf16
+path pays no extra memory traffic.
+"""
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
 
 
 def feature_loss(fmap_r, fmap_g):
@@ -9,7 +19,7 @@ def feature_loss(fmap_r, fmap_g):
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(rl - gl))
+            loss += jnp.mean(jnp.abs(_f32(rl) - _f32(gl)))
     return loss * 2
 
 
@@ -18,8 +28,8 @@ def discriminator_loss(disc_real_outputs, disc_generated_outputs):
     loss = 0.0
     r_losses, g_losses = [], []
     for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
-        r_loss = jnp.mean((1 - dr) ** 2)
-        g_loss = jnp.mean(dg**2)
+        r_loss = jnp.mean((1 - _f32(dr)) ** 2)
+        g_loss = jnp.mean(_f32(dg) ** 2)
         loss += r_loss + g_loss
         r_losses.append(r_loss)
         g_losses.append(g_loss)
@@ -31,7 +41,7 @@ def generator_loss(disc_outputs):
     loss = 0.0
     gen_losses = []
     for dg in disc_outputs:
-        l = jnp.mean((1 - dg) ** 2)
+        l = jnp.mean((1 - _f32(dg)) ** 2)
         gen_losses.append(l)
         loss += l
     return loss, gen_losses

@@ -40,6 +40,7 @@ class DiscriminatorP(nn.Module):
     use_spectral_norm: bool = False
     fold_to_batch: bool = True
     s2d: bool = False  # space-to-depth strided convs (layers._strided_conv_s2d)
+    dtype: object = None  # compute dtype; None = f32 (params always f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,7 +60,7 @@ class DiscriminatorP(nn.Module):
         def conv(z, ch, k, s, p, name):
             # rank-3 input takes Conv2d's 1D fast path; params stay 2D-shaped
             return Conv2d(ch, (k, 1), strides=(s, 1), padding=(p, 0), norm=norm,
-                          s2d=self.s2d, name=name)(z, train)
+                          dtype=self.dtype, s2d=self.s2d, name=name)(z, train)
 
         fmap = []
         pad = same_padding(5, 1)
@@ -87,12 +88,13 @@ class MultiPeriodDiscriminator(nn.Module):
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     s2d: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y, y_hat, train: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
-            d = DiscriminatorP(p, s2d=self.s2d, name=f"disc_{i}")
+            d = DiscriminatorP(p, s2d=self.s2d, dtype=self.dtype, name=f"disc_{i}")
             s_r, f_r = d(y, train)
             s_g, f_g = d(y_hat, train)
             y_d_rs.append(s_r)
@@ -107,6 +109,7 @@ class DiscriminatorS(nn.Module):
 
     use_spectral_norm: bool = False
     s2d: bool = False
+    dtype: object = None  # compute dtype; None = f32 (params always f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -126,10 +129,11 @@ class DiscriminatorS(nn.Module):
         ]
         for i, (ch, k, s, g, p) in enumerate(specs):
             x = Conv1d(ch, k, stride=s, groups=g, padding=p, norm=norm,
-                       s2d=self.s2d, name=f"convs_{i}")(x, train)
+                       dtype=self.dtype, s2d=self.s2d, name=f"convs_{i}")(x, train)
             x = leaky_relu(x)
             fmap.append(x)
-        x = Conv1d(1, 3, padding=1, norm=norm, name="conv_post")(x, train)
+        x = Conv1d(1, 3, padding=1, norm=norm, dtype=self.dtype,
+                   name="conv_post")(x, train)
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
 
@@ -150,6 +154,7 @@ class MultiScaleDiscriminator(nn.Module):
     """
 
     s2d: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y, y_hat, train: bool = False):
@@ -159,7 +164,7 @@ class MultiScaleDiscriminator(nn.Module):
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)
             d = DiscriminatorS(use_spectral_norm=(i == 0), s2d=self.s2d,
-                               name=f"disc_{i}")
+                               dtype=self.dtype, name=f"disc_{i}")
             s_r, f_r = d(y, train)
             s_g, f_g = d(y_hat, train)
             y_d_rs.append(s_r)

@@ -400,6 +400,7 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     norm: Optional[str] = None
     kernel_init: Optional[Callable] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
     s2d: bool = False  # rank-3 fast path only (see Conv1d.s2d)
 
     @nn.compact
@@ -441,6 +442,11 @@ class Conv2d(nn.Module):
         else:
             kernel = self.param("kernel", kinit, k_shape)
 
+        if self.dtype is not None:
+            # norm reparameterisations (weight/spectral) stay f32 above;
+            # only the conv itself runs in the compute dtype
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         if x.ndim == 3:
             # rank-3 fast path: a (kh, 1) kernel applied to [N, H, C] is a
             # 1D conv — keeps H in sublanes / C in lanes with no W padding
@@ -467,7 +473,7 @@ class Conv2d(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 

@@ -65,9 +65,12 @@ class GANState(NamedTuple):
 
 
 def make_models(h: VocoderConfig):
+    from dissc_tpu.models.hifigan import _resolve_dtype
+
     s2d = bool(h.get("disc_s2d"))
-    return (CodeGenerator(h), MultiPeriodDiscriminator(s2d=s2d),
-            MultiScaleDiscriminator(s2d=s2d))
+    ddt = _resolve_dtype(h.get("disc_compute_dtype"))
+    return (CodeGenerator(h), MultiPeriodDiscriminator(s2d=s2d, dtype=ddt),
+            MultiScaleDiscriminator(s2d=s2d, dtype=ddt))
 
 
 def init_gan_state(h: VocoderConfig, rng, seg_frames: Optional[int] = None,
@@ -213,7 +216,11 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
                             batch.get("f0"), batch["spkr"])
         y_mel = mel_fn(batch["audio"])
         y_hat_mel = mel_fn(y_g_hat)
-        return jnp.mean(jnp.abs(y_mel - y_hat_mel)), y_g_hat
+        # per-item errors: the host averages over unique items, matching
+        # the reference's batch_size=1 validation mean (sr/train.py:199)
+        # and letting wrap-around-padded final batches be trimmed exactly
+        err = jnp.mean(jnp.abs(y_mel - y_hat_mel), axis=tuple(range(1, y_mel.ndim)))
+        return err, y_g_hat
 
     return train_step, val_step
 
@@ -352,7 +359,11 @@ def train_vocoder(
             batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
             t0 = time.time()
             state, metrics = train_step(state, batch)
-            steps = int(state.step)
+            # host-side step counter: reading int(state.step) here would
+            # force a device sync every step (one tunnel RTT), serializing
+            # dispatch; the count is deterministic (+1/step, seeded from
+            # the checkpoint on resume)
+            steps += 1
             if steps % stdout_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"step {steps}: gen {m['loss_gen_total']:.3f} "
@@ -365,12 +376,22 @@ def train_vocoder(
                 save_all(epoch)
             if steps % validation_interval == 0 and steps != 0:
                 errs = []
-                for i, vbatch in enumerate(ds_val.batches(h.batch_size, shuffle=False)):
+                # validation batch sized to the val split (the reference
+                # validates with batch_size=1, sr/train.py:104-110): with
+                # val sets smaller than the train batch, batches() would
+                # otherwise yield nothing and validation silently skip.
+                # Rounded to a multiple of the mesh's data axis so the
+                # batch still shards.
+                n_data = int(dict(mesh.shape).get(h.get("dp_axis", "data"), 1))
+                val_bs = max(1, min(h.batch_size, len(ds_val)))
+                val_bs = max(n_data, val_bs // n_data * n_data)
+                for i, vbatch in enumerate(ds_val.batches(val_bs, shuffle=False,
+                                                          drop_last=False)):
                     if i >= max_val_batches:
                         break
                     vbatch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in vbatch.items()})
                     err, y_hat = val_step(state, vbatch)
-                    errs.append(float(err))
+                    errs.extend(np.asarray(err).tolist())
                     if i == 0:
                         # first-batch audio + spectrogram samples, like the
                         # reference's validation logging (sr/train.py:216-273)
@@ -391,6 +412,8 @@ def train_vocoder(
                         except Exception:
                             pass
                 if errs:
+                    # drop wrap-around duplicates from the padded final batch
+                    errs = errs[: len(ds_val)]
                     logger.scalars({"mel_spec_error": float(np.mean(errs))}, steps,
                                    prefix="validation/")
         print(f"epoch {epoch} done in {time.time()-start:.1f}s")

@@ -36,9 +36,12 @@ def main():
     y = jnp.asarray((rng.standard_normal((B, h.segment_size)) * 0.3).astype(np.float32))
     yh = jnp.asarray((rng.standard_normal((B, h.segment_size)) * 0.3).astype(np.float32))
 
-    mpd = MultiPeriodDiscriminator(s2d=s2d)
+    # --bf16 builds the modules with a bf16 compute dtype (params f32);
+    # casting only the inputs would silently promote back to f32 convs
+    ddt = jnp.bfloat16 if dtype == jnp.bfloat16 else None
+    mpd = MultiPeriodDiscriminator(s2d=s2d, dtype=ddt)
     mpd_vars = mpd.init(key, y[:2], y[:2])
-    msd = MultiScaleDiscriminator(s2d=s2d)
+    msd = MultiScaleDiscriminator(s2d=s2d, dtype=ddt)
     msd_vars = msd.init(key, y[:2], y[:2])
 
     for name, mod, vars_ in (("MPD", mpd, mpd_vars), ("MSD", msd, msd_vars)):

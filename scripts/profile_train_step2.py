@@ -45,6 +45,8 @@ def main():
     B = int(args_[0]) if args_ else 64
     h = VocoderConfig(batch_size=B, disc_s2d="--s2d" in sys.argv,
                       compute_dtype="bfloat16" if "--bf16" in sys.argv
+                      else "float32",
+                      disc_compute_dtype="bfloat16" if "--dbf16" in sys.argv
                       else "float32")
     seg_frames = h.segment_size // h.code_hop_size
     state, gen_tx, disc_tx = init_gan_state(h, jax.random.key(0), seg_frames)

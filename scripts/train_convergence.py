@@ -44,20 +44,38 @@ def unit_freq(u: int) -> float:
     return 100.0 + 2.0 * u
 
 
-def synth_utterance(units, timbre: float, sr: int = 16000, hop: int = 320):
-    """Units -> waveform: 3-harmonic stack at unit_freq, phase-continuous."""
+def synth_utterance(units, timbre: float, rng, sr: int = 16000, hop: int = 320):
+    """Units -> waveform: 3-harmonic stack at unit_freq, phase-continuous.
+
+    Deliberately NOT a clean deterministic tone: per-utterance random
+    initial phases, a slow random amplitude envelope, ~0.5% f0 jitter
+    and a -45 dB noise floor.  A perfectly clean corpus is adversarially
+    degenerate — the discriminator detects any generator imperfection
+    instantly (D loss ~0.005 by step 100 in the first attempt), saturates
+    the feature-match/adv terms and stalls the mel descent.  With
+    natural variability the GAN reaches the usual equilibrium and the
+    mel error can actually descend; unit -> spectrum stays deterministic
+    (mel is phase/noise-insensitive at these levels), so the corpus is
+    still learnable by construction.
+    """
     n = len(units) * hop
     wav = np.zeros(n, np.float64)
-    phases = np.zeros(3)
+    phases = rng.uniform(0, 2 * np.pi, 3)
     amps = np.array([1.0, timbre, timbre ** 2])
     amps = amps / amps.sum()
+    # slow amplitude envelope: 0.8..1.0, ~2 cycles per utterance
+    env_phase = rng.uniform(0, 2 * np.pi)
+    env_freq = rng.uniform(1.0, 3.0) / n
+    t_all = np.arange(n)
+    envelope = 0.9 + 0.1 * np.sin(env_phase + 2 * np.pi * env_freq * t_all)
     for i, u in enumerate(units):
-        f = unit_freq(int(u))
+        f = unit_freq(int(u)) * (1.0 + rng.normal(0, 0.005))
         t = np.arange(hop)
         for h in range(3):
             w = 2 * np.pi * f * (h + 1) / sr
             wav[i * hop:(i + 1) * hop] += amps[h] * np.sin(phases[h] + w * t)
             phases[h] = (phases[h] + w * hop) % (2 * np.pi)
+    wav = wav * envelope + rng.normal(0, 0.005, n)
     return (0.6 * wav).astype(np.float32)
 
 
@@ -74,13 +92,16 @@ def build_corpus(root: str, n_utt: int = 12, n_frames: int = 280,
     for spk in SPEAKERS:
         for j in range(n_utt):
             name = f"{spk}_{j + 1:03}"
-            # unit sequence as runs of 3-8 frames (learnable rhythm)
+            # unit sequence as runs whose length is a FUNCTION of the unit
+            # id (3 + u%6, +-1 frame of noise): the LenPredictor then has a
+            # strong learnable duration signal, not just the corpus mean
             units = []
             while len(units) < n_frames:
                 u = int(rng.integers(0, 100))
-                units += [u] * int(rng.integers(3, 9))
+                dur = 3 + u % 6 + int(rng.integers(-1, 2))
+                units += [u] * max(2, dur)
             units = units[:n_frames]
-            wav = synth_utterance(units, SPK_TIMBRE[spk])
+            wav = synth_utterance(units, SPK_TIMBRE[spk], rng)
             write_wav(os.path.join(base, "wav", name + ".wav"), wav, 16000)
             f0 = [unit_freq(u) for u in units]
             records.append({"units": units, "f0": f0, "audio": name + ".wav"})

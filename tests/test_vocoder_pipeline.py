@@ -154,6 +154,64 @@ def test_train_vocoder_checkpoints_and_resume(corpus, tmp_path):
     assert int(state2.step) == 5
 
 
+def test_gan_step_bf16_discriminators_track_f32(corpus):
+    """disc_compute_dtype='bfloat16' runs the D/G step with bf16 conv
+    stacks (params and loss accumulation f32) and produces losses close
+    to the f32 step at init."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dissc_tpu.train.vocoder_trainer import init_gan_state, make_gan_train_step
+
+    rng = np.random.default_rng(0)
+    res = {}
+    for name, kw in (("f32", {}), ("bf16", {"disc_compute_dtype": "bfloat16"})):
+        h = dataclasses.replace(_tiny_config(corpus), **kw)
+        F = h.segment_size // h.code_hop_size
+        state, gtx, dtx = init_gan_state(h, jax.random.key(0), F)
+        step, _ = make_gan_train_step(h, gtx, dtx)
+        batch = {
+            "code": jnp.asarray(rng.integers(0, 100, (2, F)).astype(np.int32)),
+            "f0": jnp.asarray(rng.normal(0, 1, (2, F, 1)).astype(np.float32)),
+            "spkr": jnp.asarray(rng.integers(0, 2, (2, 1)).astype(np.int32)),
+            "audio": jnp.asarray(
+                (rng.standard_normal((2, h.segment_size)) * 0.3).astype(np.float32)),
+        }
+        new_state, metrics = step(state, batch)
+        res[name] = {k: float(v) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in res[name].values()), name
+        # mixed precision contract: master params stay f32
+        assert {str(x.dtype) for x in jax.tree.leaves(new_state.msd_params)} == {"float32"}
+    for k in res["f32"]:
+        a, b = res["f32"][k], res["bf16"][k]
+        assert abs(a - b) <= 0.05 * abs(a) + 0.05, (k, a, b)
+
+
+def test_validation_runs_when_val_split_smaller_than_batch(corpus, tmp_path):
+    """Validation must not silently skip when len(val) < batch_size.
+
+    The reference validates with batch_size=1 (sr/train.py:104-110);
+    our trainer sizes the val batch to min(batch, len(val)) — a val
+    split smaller than the train batch previously yielded zero batches
+    and logged nothing.
+    """
+    import dataclasses
+
+    from dissc_tpu.train.vocoder_trainer import train_vocoder
+
+    h = dataclasses.replace(_tiny_config(corpus), batch_size=4)  # val has 2
+    ckpt = str(tmp_path / "ckpt_vbs")
+    train_vocoder(
+        h, ckpt, training_steps=2, training_epochs=10,
+        stdout_interval=10, checkpoint_interval=100, summary_interval=100,
+        validation_interval=2, max_val_batches=2,
+    )
+    logged = open(os.path.join(ckpt, "logs", "metrics.jsonl")).read()
+    assert "validation/mel_spec_error" in logged
+
+
 def test_vocoder_inference_from_trained_checkpoint(corpus, tmp_path):
     import dataclasses
     import jax
