@@ -148,6 +148,7 @@ def run_vocoder(base: str, root: str, args) -> dict:
         train_base_path=os.path.join(base, "wav"),
         val_base_path=os.path.join(base, "wav"),
         compute_dtype=args.dtype,
+        disc_compute_dtype=args.disc_dtype,
     )
     common = dict(
         checkpoint_interval=args.ckpt_interval,
@@ -199,6 +200,7 @@ def main():
     ap.add_argument("--ckpt-interval", type=int, default=400)
     ap.add_argument("--prosody-epochs", type=int, default=30)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--disc-dtype", default="float32")
     ap.add_argument("--skip-prosody", action="store_true")
     ap.add_argument("--skip-vocoder", action="store_true")
     args = ap.parse_args()
