@@ -111,6 +111,10 @@ class VocoderConfig:
     # Space-to-depth lowering for the discriminators' strided convs
     # (models.layers._strided_conv_s2d): identical math and params,
     # stride-1 MXU execution whose AD backward avoids lhs_dilation.
+    # Measured NULL result composed into the full b64 train step
+    # (267.6 vs 235.7 ms f32; 326.3 vs 206.7 ms with bf16 discs —
+    # PERFORMANCE.md round-3 A/B): the reshape/pad scaffolding defeats
+    # XLA fusion around the convs. Kept opt-in for single-conv programs.
     disc_s2d: bool = False
     # Discriminator compute dtype for training ('float32' | 'bfloat16').
     # bf16 runs the MPD/MSD conv stacks (the dominant GAN-step cost) at

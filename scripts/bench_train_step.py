@@ -3,6 +3,8 @@
 Reference headline: 400k steps in "a couple of days" on 2 GPUs
 (README.md:192) ~= 2.3 steps/s.  Prints steps/s and the projected
 wall-clock for the 400k-step budget on this chip.
+
+Flags: [batch] [--s2d] [--disc_bf16] [--trunk_bf16]
 """
 import sys
 import time
@@ -15,11 +17,22 @@ import numpy as np
 
 
 def main():
+    from dissc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dissc_tpu.core.config import VocoderConfig
     from dissc_tpu.train.vocoder_trainer import init_gan_state, make_gan_train_step
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    h = VocoderConfig(batch_size=batch_size)
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch_size = int(pos[0]) if pos else 16
+    h = VocoderConfig(
+        batch_size=batch_size,
+        disc_s2d="--s2d" in sys.argv,
+        disc_compute_dtype="bfloat16" if "--disc_bf16" in sys.argv else "float32",
+        compute_dtype="bfloat16" if "--trunk_bf16" in sys.argv else "float32",
+    )
+    print(f"config: s2d={h.disc_s2d} disc_dtype={h.disc_compute_dtype} "
+          f"trunk_dtype={h.compute_dtype}", flush=True)
     seg_frames = h.segment_size // h.code_hop_size
 
     state, gen_tx, disc_tx = init_gan_state(h, jax.random.key(0), seg_frames)
