@@ -101,6 +101,12 @@ class VocoderConfig:
 
     # TPU-specific knobs (no reference counterpart).
     dp_axis: str = "data"
+    # Discriminator ensemble sizes.  The reference hardcodes MPD periods
+    # (2,3,5,7,11) and 3 MSD scales (sr/models.py:263-333); these stay
+    # the defaults.  Smaller ensembles serve resource-bounded validation
+    # (e.g. the CPU-simulated multi-chip dry run) and ablations.
+    mpd_periods: Sequence[int] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
     # space-to-channel packed MRF for narrow stages: reshape [B,T,C] to

@@ -148,18 +148,22 @@ def _avg_pool1d(x, kernel: int = 4, stride: int = 2, padding: int = 2):
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """3 scale discriminators on 1x, 2x- and 4x-avg-pooled audio.
+    """Scale discriminators on 1x, 2x-, 4x-, ... avg-pooled audio.
 
-    First scale uses spectral norm (reference ``sr/models.py:310-333``).
+    First scale uses spectral norm (reference ``sr/models.py:310-333``,
+    which fixes ``scales`` at 3 — kept as the default; smaller ensembles
+    are used by resource-bounded validation runs like the CPU-simulated
+    multi-chip dry run).
     """
 
+    scales: int = 3
     s2d: bool = False
     dtype: object = None
 
     @nn.compact
     def __call__(self, y, y_hat, train: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i in range(3):
+        for i in range(self.scales):
             if i != 0:
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)

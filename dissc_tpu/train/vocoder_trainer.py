@@ -69,8 +69,12 @@ def make_models(h: VocoderConfig):
 
     s2d = bool(h.get("disc_s2d"))
     ddt = _resolve_dtype(h.get("disc_compute_dtype"))
-    return (CodeGenerator(h), MultiPeriodDiscriminator(s2d=s2d, dtype=ddt),
-            MultiScaleDiscriminator(s2d=s2d, dtype=ddt))
+    return (CodeGenerator(h),
+            MultiPeriodDiscriminator(
+                periods=tuple(h.get("mpd_periods") or (2, 3, 5, 7, 11)),
+                s2d=s2d, dtype=ddt),
+            MultiScaleDiscriminator(
+                scales=int(h.get("msd_scales") or 3), s2d=s2d, dtype=ddt))
 
 
 def init_gan_state(h: VocoderConfig, rng, seg_frames: Optional[int] = None,
