@@ -178,12 +178,67 @@ def main():
                   f"whole-pipeline time in the denominator)", file=sys.stderr)
     except Exception as e:
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-    print(json.dumps({
+
+    # Secondary metric: bf16-trunk vocoder serving RTF.  Same params, the
+    # generator computes in bfloat16 (VERDICT r3 item 4: record the bf16
+    # serving number in the driver-captured bench output; the f32 number
+    # above stays the headline — it is the dtype the <1e-4 reference
+    # waveform parity gate is proven on).
+    bf16_rtf = None
+    try:
+        h_bf = VocoderConfig(compute_dtype="bfloat16")
+        voc_bf = CodeGenerator(h_bf)
+        voc_bf_apply = jax.jit(
+            lambda p, c, f, s: voc_bf.apply({"params": p}, c, f, s))
+
+        def convert_bf16(wavs, lengths, spk):
+            seqs = encode(hub_params, wavs)[:, :T]
+            out_seqs, out_lens, f0 = _convert_batch(
+                len_model, len_vars, (jnp.float32(4.0), jnp.float32(2.0)),
+                pitch_model, pitch_vars, id2mean, id2std,
+                seqs, lengths, spk,
+                in_cap=T, out_cap=OUT_T, norm_pitch=False, n_tokens=100,
+            )
+            wav = voc_bf_apply(voc_params, out_seqs, f0[..., None], spk)
+            return wav, out_lens
+
+        jax.block_until_ready(convert_bf16(*iter_args[0])[0])  # compile
+        bf_trials = []
+        for _ in range(4):
+            t0 = time.time()
+            for it in range(1, n_iters + 1):
+                w, ol = convert_bf16(*iter_args[it])
+                jax.block_until_ready((w, ol))
+            lat = (time.time() - t0) / (audio_seconds_per_iter * n_iters)
+            t0 = time.time()
+            outs = [convert_bf16(*iter_args[it]) for it in range(1, n_iters + 1)]
+            _ = np.asarray(outs[-1][0][0, :8])
+            pipe = (time.time() - t0) / (audio_seconds_per_iter * n_iters)
+            ok = pipe <= lat * 1.2
+            print(f"bf16 trial: latency-inclusive {lat:.6f}, pipelined "
+                  f"{pipe:.6f}{'' if ok else '  [REJECTED]'}", file=sys.stderr)
+            if ok:
+                bf_trials.append(pipe)
+                if len(bf_trials) >= 2:
+                    break
+        if bf_trials:
+            bf16_rtf = min(bf_trials)
+            print(f"secondary: bf16-trunk e2e rtf {bf16_rtf:.6f} "
+                  f"({0.05 / bf16_rtf:.1f}x target, {rtf / bf16_rtf:.2f}x the "
+                  "f32 headline)", file=sys.stderr)
+    except Exception as e:
+        print(f"bf16 secondary bench unavailable: {e}", file=sys.stderr)
+
+    record = {
         "metric": "e2e_conversion_rtf_per_chip",
         "value": round(rtf, 6),
         "unit": "s_compute_per_s_audio",
         "vs_baseline": round(0.05 / rtf, 3),
-    }))
+    }
+    if bf16_rtf is not None:
+        record["bf16_rtf"] = round(bf16_rtf, 6)
+        record["bf16_vs_baseline"] = round(0.05 / bf16_rtf, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
