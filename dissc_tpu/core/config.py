@@ -122,6 +122,13 @@ class VocoderConfig:
     # PERFORMANCE.md round-3 A/B): the reshape/pad scaffolding defeats
     # XLA fusion around the convs. Kept opt-in for single-conv programs.
     disc_s2d: bool = False
+    # Fused MSD G-step (models/msd_fused.py): one custom_vjp around the
+    # whole multi-scale stack with a hand-written backward — polyphase
+    # input-gradients (no lhs_dilation zero buffers), leaky-relu masks
+    # recovered from the feature maps, no weight-gradient paths.  The
+    # D step keeps the standard flax apply.  Targets the round-3
+    # roofline finding (MSD G-step HBM-bound, 28.1 GB vs ~10 GB floor).
+    msd_fused_gstep: bool = False
     # Discriminator compute dtype for training ('float32' | 'bfloat16').
     # bf16 runs the MPD/MSD conv stacks (the dominant GAN-step cost) at
     # 2x MXU peak; params, weight/spectral-norm reparameterisations and

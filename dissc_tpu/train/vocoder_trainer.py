@@ -179,10 +179,22 @@ def make_gan_train_step(h: VocoderConfig, gen_tx, disc_tx):
             # train=True + mutable: the MSD spectral-norm power iteration
             # advances in the G forward too, exactly like the reference
             # (sr/train.py:180-181 runs msd in train mode a second time)
-            (_, s_gs, s_fr, s_fg), g_spec = msd.apply(
-                {"params": disc_params["msd"], "spectral": new_spectral}, y, y_hat,
-                True, mutable=["spectral"],
-            )
+            if h.get("msd_fused_gstep"):
+                # forward-identical fused stack whose custom_vjp backward
+                # differentiates w.r.t. y_hat only (models/msd_fused.py)
+                from dissc_tpu.models.hifigan import _resolve_dtype
+                from dissc_tpu.models.msd_fused import (fold_msd_weights,
+                                                        msd_g_apply)
+                weights, spec_new = fold_msd_weights(
+                    disc_params["msd"], new_spectral, train=True,
+                    dtype=_resolve_dtype(h.get("disc_compute_dtype")))
+                _, s_gs, s_fr, s_fg = msd_g_apply(weights, y, y_hat)
+                g_spec = {"spectral": spec_new}
+            else:
+                (_, s_gs, s_fr, s_fg), g_spec = msd.apply(
+                    {"params": disc_params["msd"], "spectral": new_spectral}, y, y_hat,
+                    True, mutable=["spectral"],
+                )
             loss_fm = feature_loss(p_fr, p_fg) + feature_loss(s_fr, s_fg)
             loss_adv = generator_loss(p_gs)[0] + generator_loss(s_gs)[0]
             return loss_adv + loss_fm + loss_mel, (

@@ -4,7 +4,7 @@ Reference headline: 400k steps in "a couple of days" on 2 GPUs
 (README.md:192) ~= 2.3 steps/s.  Prints steps/s and the projected
 wall-clock for the 400k-step budget on this chip.
 
-Flags: [batch] [--s2d] [--disc_bf16] [--trunk_bf16]
+Flags: [batch] [--s2d] [--disc_bf16] [--trunk_bf16] [--msd_fused]
 """
 import sys
 import time
@@ -30,8 +30,9 @@ def main():
         disc_s2d="--s2d" in sys.argv,
         disc_compute_dtype="bfloat16" if "--disc_bf16" in sys.argv else "float32",
         compute_dtype="bfloat16" if "--trunk_bf16" in sys.argv else "float32",
+        msd_fused_gstep="--msd_fused" in sys.argv,
     )
-    print(f"config: s2d={h.disc_s2d} disc_dtype={h.disc_compute_dtype} "
+    print(f"config: s2d={h.disc_s2d} msd_fused={h.msd_fused_gstep} disc_dtype={h.disc_compute_dtype} "
           f"trunk_dtype={h.compute_dtype}", flush=True)
     seg_frames = h.segment_size // h.code_hop_size
 

@@ -5,6 +5,7 @@ Decides whether the discriminator backward is worth more relowering work
 are dtype or FLOP reduction, not scheduling).
 
 Usage: python scripts/profile_msd_roofline.py [batch] [--s2d] [--bf16]
+       [--fused]   # MSD via the whole-stack custom_vjp (models/msd_fused.py)
 """
 import sys
 
@@ -44,17 +45,36 @@ def main():
     msd = MultiScaleDiscriminator(s2d=s2d, dtype=ddt)
     msd_vars = msd.init(key, y[:2], y[:2])
 
+    fused = "--fused" in sys.argv
+
     for name, mod, vars_ in (("MPD", mpd, mpd_vars), ("MSD", msd, msd_vars)):
-        def g_step(a, b, mod=mod, vars_=vars_):
-            def loss(bb):
-                out = mod.apply(vars_, a.astype(dtype), bb.astype(dtype), True,
-                                mutable=[k for k in vars_ if k != "params"])
-                (rs, gs, fr, fg) = out[0] if isinstance(out, tuple) and len(out) == 2 else out
-                lg, _ = generator_loss([g.astype(jnp.float32) for g in gs])
-                return lg + feature_loss(
-                    [[x.astype(jnp.float32) for x in f] for f in fr],
-                    [[x.astype(jnp.float32) for x in f] for f in fg])
-            return jax.grad(loss)(b)
+        if fused and name == "MSD":
+            from dissc_tpu.models.msd_fused import fold_msd_weights, msd_g_apply
+
+            def g_step(a, b, vars_=vars_):
+                def loss(bb):
+                    weights, _ = fold_msd_weights(
+                        vars_["params"], vars_["spectral"], train=True,
+                        dtype=ddt)
+                    rs, gs, fr, fg = msd_g_apply(weights, a, bb)
+                    lg, _ = generator_loss([g.astype(jnp.float32) for g in gs])
+                    return lg + feature_loss(
+                        [[x.astype(jnp.float32) for x in f] for f in fr],
+                        [[x.astype(jnp.float32) for x in f] for f in fg])
+                return jax.grad(loss)(b)
+
+            name = "MSD(fused)"
+        else:
+            def g_step(a, b, mod=mod, vars_=vars_):
+                def loss(bb):
+                    out = mod.apply(vars_, a.astype(dtype), bb.astype(dtype), True,
+                                    mutable=[k for k in vars_ if k != "params"])
+                    (rs, gs, fr, fg) = out[0] if isinstance(out, tuple) and len(out) == 2 else out
+                    lg, _ = generator_loss([g.astype(jnp.float32) for g in gs])
+                    return lg + feature_loss(
+                        [[x.astype(jnp.float32) for x in f] for f in fr],
+                        [[x.astype(jnp.float32) for x in f] for f in fg])
+                return jax.grad(loss)(b)
 
         jitted = jax.jit(g_step)
         ca = jitted.lower(y, yh).compile().cost_analysis()
