@@ -34,4 +34,10 @@ def stub_env(env: dict | None = None) -> dict:
     parts = [STUB_PATH] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
     env["PYTHONPATH"] = os.pathsep.join(parts)
     env["JAX_PLATFORMS"] = "cpu"
+    # the reference targets torch < 2.6 (`torch.load` without
+    # weights_only); this image ships torch 2.6+ whose safe-by-default
+    # loader rejects the numpy globals in exported checkpoints.  The
+    # documented escape hatch restores the semantics the reference's own
+    # code assumes — scoped to these opted-in subprocesses only.
+    env["TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD"] = "1"
     return env

@@ -73,12 +73,17 @@ def save_torch_checkpoint(path: str, obj: Dict[str, Any]) -> None:
     try:
         import torch
 
-        torch.save(
-            {k: ({kk: torch.from_numpy(np.ascontiguousarray(vv)) for kk, vv in v.items()}
-                 if isinstance(v, dict) else v)
-             for k, v in obj.items()},
-            path,
-        )
+        def conv(v):
+            if isinstance(v, dict):
+                return {k: conv(vv) for k, vv in v.items()}
+            if isinstance(v, np.ndarray):
+                # torch tensors throughout: ``load_state_dict`` rejects
+                # ndarray leaves, and torch>=2.6's weights_only loader
+                # rejects numpy globals outright
+                return torch.from_numpy(np.ascontiguousarray(v))
+            return v
+
+        torch.save(conv(obj), path)
     except ImportError:  # pragma: no cover
         import pickle
 
@@ -135,4 +140,13 @@ def export_pitch_predictor(variables: Dict[str, Any],
         sd[f"{bn}.bias"] = _np(params[bn]["BatchNorm_0"]["bias"])
         sd[f"{bn}.running_mean"] = _np(stats[bn]["BatchNorm_0"]["mean"])
         sd[f"{bn}.running_var"] = _np(stats[bn]["BatchNorm_0"]["var"])
+    if model_type == "new":
+        # the reference registers the (deterministic) linear-ramp PE as a
+        # persistent buffer, so strict load_state_dict demands it
+        # (model/pitch_predictor.py:6-17); rebuild it exactly
+        d = sd["spk_emb.weight"].shape[1]
+        ramp = np.linspace(0.0, 1.0, 850, dtype=np.float32)[:, None]
+        sd["pe.pe"] = np.concatenate(
+            [np.repeat(ramp, d // 2, 1), np.repeat(ramp[::-1], d // 2, 1)],
+            axis=-1)[None]
     return sd

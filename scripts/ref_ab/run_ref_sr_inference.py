@@ -19,7 +19,9 @@ import torch
 
 def _patch_to_cpu():
     def _map(d):
-        if isinstance(d, int) or (isinstance(d, str) and d.startswith("cuda")):
+        # NB bool is an int subclass: non_blocking=False must pass through
+        if (isinstance(d, int) and not isinstance(d, bool)) or (
+                isinstance(d, str) and d.startswith("cuda")):
             return "cpu"
         if isinstance(d, torch.device) and d.type == "cuda":
             return torch.device("cpu")

@@ -121,6 +121,9 @@ def stage_a_prosody(root: str, ref_ckpt: str) -> dict:
     hub = os.path.join(root, "data", "Syn_VCTK", "hubert100")
     ref_out = os.path.join(root, "ref_out", "pred_hubert")
     os.makedirs(ref_out, exist_ok=True)
+    # infer.py wraps its dataset in Subset(ds, range(n)) — n must not
+    # exceed the file count (infer.py:62)
+    n_files = sum(1 for l in open(os.path.join(hub, "val_sf.txt")) if l.strip())
     _run([sys.executable, os.path.join(REFERENCE, "infer.py"),
           "--input_path", os.path.join(hub, "val_sf.txt"),
           "--out_path", ref_out,
@@ -129,7 +132,7 @@ def stage_a_prosody(root: str, ref_ckpt: str) -> dict:
           "--f0_path", os.path.join(hub, "f0_stats.pkl"),
           "--f0_model_type", "new", "--device", "cpu",
           "--pred_len", "--pred_pitch", "--vc",
-          "--target_speakers", *TRGT, "-n", "1000"],
+          "--target_speakers", *TRGT, "-n", n_files],
          cwd=REFERENCE, log_name="reference infer.py")
 
     ours_dir = os.path.join(root, "data", "Syn_VCTK", "pred_hubert_dissc_b")
@@ -263,11 +266,21 @@ def main(root: str) -> dict:
     import toy_convert_eval as toy
 
     os.makedirs(root, exist_ok=True)
-    print("[ref_ab] building toy corpus + training checkpoints", flush=True)
-    toy.build_corpus(root)
-    toy.train_checkpoints(root)
-    print("[ref_ab] running the native convert_eval pipeline", flush=True)
-    toy.run_pipeline(root, sort_gt=True)
+    # idempotent stage gating: a rerun after a downstream failure reuses
+    # the (deterministic) native corpus/checkpoints/pipeline outputs
+    if not os.path.exists(os.path.join(root, "checkpoints", "vctk_vocoder",
+                                       "config.json")):
+        print("[ref_ab] building toy corpus + training checkpoints", flush=True)
+        toy.build_corpus(root)
+        toy.train_checkpoints(root)
+    else:
+        print("[ref_ab] reusing existing toy corpus + checkpoints", flush=True)
+    if not os.path.exists(os.path.join(root, "results", "syn_vctk",
+                                       "dissc_b_results.pkl")):
+        print("[ref_ab] running the native convert_eval pipeline", flush=True)
+        toy.run_pipeline(root, sort_gt=True)
+    else:
+        print("[ref_ab] reusing existing native pipeline outputs", flush=True)
     ref_ckpt = export_reference_checkpoints(root)
 
     report = {"scratch_root": root}
