@@ -16,27 +16,64 @@ import numpy as np
 MAX_WAV_VALUE = 32768.0  # reference sr/dataset.py:24
 
 
+def _read_riff_float(path: str) -> Tuple[np.ndarray, int, int]:
+    """Minimal RIFF parser for IEEE-float WAVs (wFormatTag=3), which the
+    stdlib ``wave`` module rejects — ``scipy.io.wavfile.write`` emits
+    them for float arrays.  Returns (float64 samples, sr, channels)."""
+    import struct
+
+    with open(path, "rb") as f:
+        riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        fmt = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"no data chunk in {path}")
+            cid, size = struct.unpack("<4sI", hdr)
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", f.read(16))
+                f.seek(size - 16 + (size & 1), 1)
+            elif cid == b"data":
+                raw = f.read(size)
+                break
+            else:
+                f.seek(size + (size & 1), 1)
+    tag, channels, sr, _, _, bits = fmt
+    if tag != 3 or bits not in (32, 64):
+        raise ValueError(f"unsupported WAV format tag {tag}/{bits}b in {path}")
+    data = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
+    return data.astype(np.float64), sr, channels
+
+
 def read_wav(path: str, dtype: str = "int16") -> Tuple[np.ndarray, int]:
     """Read a WAV file -> (samples, sample_rate).
 
-    Supports 16-bit and 32-bit PCM and 32-bit float WAVs.  ``dtype``
-    selects the returned representation: ``"int16"`` (as the reference's
+    Supports 16/32-bit PCM (stdlib ``wave``) and 32/64-bit IEEE float
+    WAVs (format tag 3, via the RIFF fallback).  ``dtype`` selects the
+    returned representation: ``"int16"`` (as the reference's
     ``sf.read(dtype='int16')``) or ``"float32"`` (samples in [-1, 1], as
     plain ``sf.read``).
     """
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        width = w.getsampwidth()
-        channels = w.getnchannels()
-        raw = w.readframes(n)
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            channels = w.getnchannels()
+            raw = w.readframes(n)
+    except wave.Error:
+        data, sr, channels = _read_riff_float(path)
+        width = 0  # sentinel: already in [-1, 1] float
+        scale = 1.0
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.int16)
         scale = MAX_WAV_VALUE
     elif width == 4:
         data = np.frombuffer(raw, dtype="<i4")
         scale = 2147483648.0
-    else:
+    elif width != 0:
         raise ValueError(f"unsupported WAV sample width {width} in {path}")
     if channels > 1:
         data = data.reshape(-1, channels).mean(axis=1)

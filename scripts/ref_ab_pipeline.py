@@ -218,9 +218,64 @@ def stage_b_vocoder(root: str, ref_ckpt: str) -> dict:
             "thresholds": {"mel_db_tol": MEL_DB_TOL}, "per_file": results}
 
 
+def write_uniform_gt_textgrids(res_dir: str) -> int:
+    """Materialise uniform ground-truth TextGrids for every gt wav.
+
+    The reference ``eval.py:105`` reads ``{gt}/txtgrid/*.TextGrid``
+    unconditionally (MFA output in its setup); our suite skips files
+    without grids.  For the A/B both suites must read IDENTICAL grids,
+    so build the deterministic uniform grids (words = transcript tokens,
+    phones = their characters, spread evenly over the audio) that MFA's
+    absence would otherwise imply.  Returns the number written.
+    """
+    from dissc_tpu.core.wav import read_wav
+
+    orig = os.path.join(res_dir, "orig")
+    tg_dir = os.path.join(orig, "txtgrid")
+    os.makedirs(tg_dir, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(orig)):
+        if not f.endswith(".wav"):
+            continue
+        stem = f[:-4]
+        txt = os.path.join(orig, stem + ".txt")
+        text = open(txt).readline().strip() if os.path.exists(txt) else ""
+        wav, sr = read_wav(os.path.join(orig, f), dtype="float32")
+        dur = len(wav) / sr
+        words = text.split() or ["x"]
+        phones = [c for w in words for c in w] or ["x"]
+        lines = ['File type = "ooTextFile"', 'Object class = "TextGrid"',
+                 "xmin = 0", f"xmax = {dur:.6f}", "tiers? <exists>",
+                 "size = 2", "item []:"]
+        for ti, (name, marks) in enumerate((("words", words),
+                                            ("phones", phones)), 1):
+            lines += [f"    item [{ti}]:", '        class = "IntervalTier"',
+                      f'        name = "{name}"', "        xmin = 0",
+                      f"        xmax = {dur:.6f}",
+                      f"        intervals: size = {len(marks)}"]
+            for i, mark in enumerate(marks):
+                x0, x1 = dur * i / len(marks), dur * (i + 1) / len(marks)
+                lines += [f"        intervals [{i + 1}]:",
+                          f"            xmin = {x0:.6f}",
+                          f"            xmax = {x1:.6f}",
+                          f'            text = "{mark}"']
+        with open(os.path.join(tg_dir, stem + ".TextGrid"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        n += 1
+    return n
+
+
 def stage_c_eval(root: str) -> dict:
     """Reference eval.py vs our metric suite on the SAME results tree."""
     res_dir = os.path.join(root, "results", "syn_vctk")
+    n_grids = write_uniform_gt_textgrids(res_dir)
+    print(f"[ref_ab] wrote {n_grids} uniform gt TextGrids", flush=True)
+    # regenerate OUR metrics now that gt grids exist (the run_pipeline
+    # pass evaluated without them, so alignment metrics were skipped)
+    _run([sys.executable, "-m", "dissc_tpu.cli.eval", "--base_path", res_dir,
+          "--method", "dissc_b", "--device", "cpu",
+          "--target_speakers", *TRGT],
+         cwd=REPO, log_name="native eval (with gt grids)")
     ours_pkl = os.path.join(res_dir, "dissc_b_results.pkl")
     with open(ours_pkl, "rb") as f:
         ours = pickle.load(f)
