@@ -362,6 +362,14 @@ def train_vocoder(
             yield item
 
     steps = int(state.step)
+    # training_steps with drop_last batching needs at least one full
+    # batch per epoch, else the epoch loop would spin forever doing
+    # nothing (reference sr/train.py has the same implicit contract)
+    if len(ds_train) < h.batch_size:
+        raise ValueError(
+            f"train split has {len(ds_train)} items < batch_size "
+            f"{h.batch_size}: no full batch to train on — shrink the batch "
+            f"or repeat manifest records (each draw crops randomly)")
     for epoch in range(max(0, last_epoch), training_epochs):
         start = time.time()
         for batch in prefetched(

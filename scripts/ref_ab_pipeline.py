@@ -347,9 +347,15 @@ def main(root: str) -> dict:
 
     out = os.path.join(REPO, "artifacts", "ref_ab_r4.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    slim = json.loads(json.dumps(report))
-    slim["B_vocoder"] = {k: v for k, v in report["B_vocoder"].items()
-                         if k != "per_file"}
+    # numpy scalars (np.bool_/np.float64 from the comparisons) are not
+    # JSON-native; .item() converts them.  Sanitize AFTER dropping the
+    # bulky per-file map, not before.
+    report_slim = dict(report)
+    report_slim["B_vocoder"] = {k: v for k, v in report["B_vocoder"].items()
+                                if k != "per_file"}
+    slim = json.loads(json.dumps(
+        report_slim,
+        default=lambda o: o.item() if hasattr(o, "item") else str(o)))
     with open(out, "w") as f:
         json.dump(slim, f, indent=1)
     print(json.dumps(slim, indent=1))

@@ -99,6 +99,10 @@ def build_corpus(root: str) -> str:
         records.append({"units": units, "f0": f0, "audio": name + ".wav"})
 
     train, val = records[:3], records[3:]
+    # each manifest draw takes a fresh random crop, so repeating the 3
+    # train records gives the loader several distinct-crop batches per
+    # epoch (otherwise 3 items < batch_size would leave no full batch)
+    train = train * 16
     for split, recs in (("train", train), ("val", val)):
         with open(os.path.join(base, f"{split}.txt"), "w") as fh:
             for r in recs:
