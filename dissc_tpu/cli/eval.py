@@ -13,6 +13,19 @@ def main(argv=None):
                         help="Local Whisper checkpoint dir; omit to skip WER/CER")
     args = parser.parse_args(argv)
 
+    if args.device == "cpu":
+        # The metric suite must be CPU-deterministic: YAAPT's NCCF runs
+        # through jax matmuls, and on TPU the default (bf16) precision
+        # shifts f0 contours enough to move EMD/FFE by 30%+.  The env
+        # var alone is not honoured when a sitecustomize pre-registers
+        # an accelerator backend — force the config too.
+        import os
+
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from dissc_tpu.eval.metrics import calc_errors, log_results
 
     transcribe = None

@@ -51,7 +51,12 @@ def interp(vals: Sequence[float], target_len: int) -> np.ndarray:
 
     cur_len = len(vals)
     if cur_len == 1:
-        return np.array(target_len * list(vals))
+        # Type-dependent on purpose, exactly as the reference: a list is
+        # *repeated* target_len times (the morph_seq_len path), while an
+        # ndarray is *scalar-multiplied* into a length-1 array that then
+        # broadcasts (the eval aligned_ffe path).  Both behaviors are
+        # load-bearing for numeric parity with eval.py.
+        return np.array(target_len * vals)
     if target_len == cur_len:
         return np.array(vals)
     f = interp1d(

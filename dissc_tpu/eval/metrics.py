@@ -86,16 +86,21 @@ def pitch_emd(syn_pitch: np.ndarray, ref_pitch: np.ndarray) -> float:
 def aligned_ffe(int1, int2, pitch1, pitch2, sr: int = 16000) -> float:
     """FFE over aligned intervals: fraction of frames whose f0 ratio
     deviates >20% after nearest-resampling the synthetic interval to the
-    reference's frame count (``eval.py:50-57``)."""
+    reference's frame count (``eval.py:50-57``).
+
+    Deliberately mirrors the reference's edge semantics: an empty
+    synthetic slice raises ValueError out of scipy's interp1d, which the
+    caller's per-tier try/except turns into "drop this utterance from
+    the tier" — adding a skip guard here shifts the corpus mean (the
+    round-4 A/B caught exactly that on Character FFE).
+    """
     ffe = []
     for i in range(len(int1)):
         ref = pitch1[int(int1[i].minTime * sr * 0.005 * 2.5 + 2):
                      int(int1[i].maxTime * sr * 0.005 * 2.5 + 2)]
         syn = pitch2[int(int2[i].minTime * sr * 0.005 * 2.5 + 2):
                      int(int2[i].maxTime * sr * 0.005 * 2.5 + 2)]
-        if ref.shape[0] == 0 or len(syn) == 0:
-            continue
-        syn = interp(list(syn), ref.shape[0])
+        syn = interp(syn, ref.shape[0])
         ffe.append((np.abs(((ref + 0.0001) / (syn + 0.0001)) - 1) > 0.2).mean())
     return float(np.mean(ffe)) if ffe else 0.0
 
@@ -159,7 +164,19 @@ def calc_errors(
 
             syn_pitch = get_yaapt(ysyn, sr_s)
             ref_pitch = get_yaapt(yref, sr_r)
-            err["emd"].append(pitch_emd(syn_pitch, ref_pitch))
+            # The reference pads the contours *in place* before EMD and
+            # the padded arrays then flow into aligned_ffe below
+            # (eval.py:96-102) — including the quirk that the second
+            # branch tests waveform lengths, not pitch lengths.
+            if ref_pitch.shape[0] > syn_pitch.shape[0]:
+                syn_pitch = np.pad(syn_pitch, (0, ref_pitch.shape[0] - syn_pitch.shape[0]))
+            elif len(yref) < len(ysyn):
+                ref_pitch = np.pad(ref_pitch, (0, syn_pitch.shape[0] - ref_pitch.shape[0]))
+            from scipy.stats import wasserstein_distance
+
+            # not pitch_emd(): that would re-pad to equal length, which
+            # the reference does NOT do when the elif above mis-fires
+            err["emd"].append(float(wasserstein_distance(syn_pitch, ref_pitch)))
 
             ref_grid_path = f"{gt_path}/txtgrid/{trg}_{seq}.TextGrid"
             if not os.path.isfile(ref_grid_path):
