@@ -171,6 +171,12 @@ def main():
     train_vocoder(h, ckpt, training_steps=args.steps1, **common)
     state = train_vocoder(h, ckpt, training_steps=args.steps2, **common)
 
+    # run_inference loads config.json from the checkpoint dir
+    import dataclasses
+
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(h), f)
+
     curve = read_metric(os.path.join(ckpt, "logs"), "validation/mel_spec_error")
     train_mel = read_metric(os.path.join(ckpt, "logs"), "training/loss_mel")
 
