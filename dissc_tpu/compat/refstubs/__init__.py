@@ -29,7 +29,14 @@ STUB_PATH = os.path.dirname(os.path.abspath(__file__))
 def stub_env(env: dict | None = None) -> dict:
     """Environment for a subprocess that runs reference code: stubs first
     on PYTHONPATH, JAX forced onto CPU (the stubs' DSP is jax-backed and
-    must not grab the tunneled TPU)."""
+    must not grab the tunneled TPU).
+
+    .. warning:: The returned env sets ``TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD=1``,
+       which disables torch>=2.6 safe loading for EVERY ``torch.load`` in
+       the child — not just our self-exported checkpoints.  Only use it
+       for processes already trusted to execute reference code end to
+       end; do not reuse it as a general-purpose subprocess env builder.
+    """
     env = dict(env if env is not None else os.environ)
     parts = [STUB_PATH] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
     env["PYTHONPATH"] = os.pathsep.join(parts)

@@ -16,6 +16,11 @@ import numpy as np
 MAX_WAV_VALUE = 32768.0  # reference sr/dataset.py:24
 
 
+class _PcmRiffError(ValueError):
+    """RIFF fallback found an ordinary PCM file — the original
+    ``wave.Error`` (corruption, truncation) is the real story."""
+
+
 def _read_riff_float(path: str) -> Tuple[np.ndarray, int, int]:
     """Minimal RIFF parser for IEEE-float WAVs (wFormatTag=3), which the
     stdlib ``wave`` module rejects — ``scipy.io.wavfile.write`` emits
@@ -40,7 +45,13 @@ def _read_riff_float(path: str) -> Tuple[np.ndarray, int, int]:
                 break
             else:
                 f.seek(size + (size & 1), 1)
+    if fmt is None:
+        raise ValueError(f"no fmt chunk before data chunk in {path}")
     tag, channels, sr, _, _, bits = fmt
+    if tag == 1:
+        # PCM that the stdlib wave module nevertheless rejected: the file
+        # is damaged, not IEEE-float — surface the real corruption error.
+        raise _PcmRiffError(f"PCM WAV rejected by the wave module: {path}")
     if tag != 3 or bits not in (32, 64):
         raise ValueError(f"unsupported WAV format tag {tag}/{bits}b in {path}")
     data = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
@@ -63,8 +74,13 @@ def read_wav(path: str, dtype: str = "int16") -> Tuple[np.ndarray, int]:
             width = w.getsampwidth()
             channels = w.getnchannels()
             raw = w.readframes(n)
-    except wave.Error:
-        data, sr, channels = _read_riff_float(path)
+    except wave.Error as wav_err:
+        try:
+            data, sr, channels = _read_riff_float(path)
+        except _PcmRiffError:
+            # damaged int16/PCM file, not an IEEE-float one: the wave
+            # module's error is the accurate diagnosis — re-raise it.
+            raise wav_err
         width = 0  # sentinel: already in [-1, 1] float
         scale = 1.0
     if width == 2:

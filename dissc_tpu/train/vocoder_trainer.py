@@ -362,6 +362,11 @@ def train_vocoder(
             yield item
 
     steps = int(state.step)
+    if steps >= training_steps:
+        # pure resume of an already-finished run: return the loaded state
+        # (the small-split check below must not block inference prep)
+        save_all(max(0, last_epoch))
+        return state
     # training_steps with drop_last batching needs at least one full
     # batch per epoch, else the epoch loop would spin forever doing
     # nothing (reference sr/train.py has the same implicit contract)

@@ -124,9 +124,14 @@ def test_composed_train_step_equivalent():
     for m1, m2 in zip(m_plain, m_fused):
         for k in m1:
             assert np.isclose(float(m1[k]), float(m2[k]), rtol=5e-4), (k, m1[k], m2[k])
-    for a, b in zip(jax.tree_util.tree_leaves(s_plain.gen_params),
-                    jax.tree_util.tree_leaves(s_fused.gen_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(s_plain.msd_spectral),
-                    jax.tree_util.tree_leaves(s_fused.msd_spectral)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # tree_map (not zip over leaves) so a structural divergence between
+    # the plain and fused state trees raises instead of silently
+    # truncating the element-wise comparison
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5),
+        s_plain.gen_params, s_fused.gen_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        s_plain.msd_spectral, s_fused.msd_spectral)

@@ -49,3 +49,35 @@ def test_pcm_path_unchanged(tmp_path, tone):
     y, sr = read_wav(p, dtype="float32")
     assert sr == 16000
     np.testing.assert_allclose(y, tone, atol=1 / 32767.0)
+
+
+def test_corrupt_pcm_raises_wave_error(tmp_path, tone):
+    """A damaged int16 PCM file must surface the wave-module error, not a
+    misleading 'unsupported WAV format tag 1' from the float fallback
+    (ADVICE r4)."""
+    import wave
+
+    p = str(tmp_path / "ok.wav")
+    write_wav(p, tone, 16000)
+    raw = bytearray(open(p, "rb").read())
+    # corrupt bits-per-sample to 0 so wave.open raises wave.Error ("bad
+    # sample width") while the RIFF walker still sees format tag 1
+    i = raw.find(b"fmt ")
+    raw[i + 8 + 14:i + 8 + 16] = (0).to_bytes(2, "little")
+    bad = str(tmp_path / "bad.wav")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(wave.Error):
+        read_wav(bad)
+
+
+def test_missing_fmt_chunk_clean_error(tmp_path):
+    """data chunk with no preceding fmt chunk -> clean ValueError, not an
+    opaque TypeError (ADVICE r4)."""
+    import struct
+
+    payload = struct.pack("<4sI", b"data", 4) + b"\x00" * 4
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE")
+    bad = str(tmp_path / "nofmt.wav")
+    open(bad, "wb").write(hdr + payload)
+    with pytest.raises(ValueError, match="fmt chunk"):
+        read_wav(bad)
