@@ -54,6 +54,7 @@ _HEAVY_MODULES = {
     "test_streaming",
     "test_train_infer",
     "test_vocoder_pipeline",
+    "test_whisper",
     "test_yaapt",
     "test_yaapt_real_speech",
 }
