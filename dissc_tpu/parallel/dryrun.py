@@ -240,13 +240,166 @@ def run_prosody_phase(n_devices: int) -> None:
     _log(phase, f"OK loss={float(metrics['Loss']):.3f}")
 
 
+def run_multiproc_worker(n_local: int, n_procs: int, proc_id: int,
+                         coordinator: str) -> None:
+    """One process of the 2-process rendezvous phase.
+
+    Mirrors the reference's ACTUAL multi-process shape
+    (``sr/train.py:36-41``: one process per device, NCCL rendezvous,
+    DistributedSampler shards): ``jax.distributed.initialize`` over a
+    TCP coordinator, a global mesh spanning both processes' devices,
+    per-process DISJOINT batch shards assembled with
+    ``jax.make_array_from_process_local_data`` (the
+    ``parallel/mesh.py::shard_batch`` multi-process path), and one full
+    rhythm-predictor train step whose gradient psum crosses the process
+    boundary through the gloo CPU collectives.
+    """
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=n_procs, process_id=proc_id)
+    phase = f"mp{proc_id}"
+    _log(phase, f"rendezvous OK: process {jax.process_index()}/"
+                f"{jax.process_count()} global_devices={jax.device_count()} "
+                f"local={jax.local_device_count()}")
+    assert jax.process_count() == n_procs
+    assert jax.device_count() == n_local * n_procs
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dissc_tpu.models.prosody import LenPredictor
+    from dissc_tpu.parallel.mesh import create_mesh, shard_batch
+    from dissc_tpu.train.prosody_trainer import TrainState, make_len_steps
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = create_mesh()  # data axis spans all global devices
+    model = LenPredictor(n_tokens=100, n_speakers=4)
+    norm_stats = (jnp.float32(4.0), jnp.float32(2.0))
+    T = 16
+    b_global = 2 * jax.device_count()
+    b_local = b_global // n_procs
+
+    variables = model.init(jax.random.key(1), jnp.zeros((1, T), jnp.int32),
+                           jnp.zeros((1, 1), jnp.int32), norm_stats)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adam(3e-4), batch_stats=variables["batch_stats"],
+    )
+    repl = NamedSharding(mesh, P())
+
+    def to_global_replicated(x):
+        # multi-process-safe replicated global array: identical host
+        # value on every process (deterministic init above)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, repl, lambda idx: x[idx])
+
+    state = jax.tree_util.tree_map(to_global_replicated, state)
+    _log(phase, "replicated state built across processes")
+
+    # disjoint per-process shard of a deterministic global batch
+    rng = np.random.default_rng(7)
+    vals_g = rng.integers(0, 100, (b_global, T)).astype(np.int32)
+    lens_g = rng.integers(1, 5, (b_global, T)).astype(np.float32)
+    spk_g = rng.integers(0, 4, (b_global, 1)).astype(np.int32)
+    sl = slice(proc_id * b_local, (proc_id + 1) * b_local)
+    batch = shard_batch(mesh, {"vals": vals_g[sl], "lens": lens_g[sl],
+                               "spk": spk_g[sl]})
+    assert batch["vals"].shape == (b_global, T)  # global shape, local shard
+    _log(phase, f"global batch assembled from process-local data "
+                f"(local {b_local} -> global {b_global})")
+
+    train_step, _ = make_len_steps(model, norm_stats)
+    with mesh:
+        state2, metrics = train_step(
+            state, batch["vals"], batch["lens"], batch["spk"], jax.random.key(2))
+        jax.block_until_ready(state2.params)
+    assert int(state2.step) == 1
+    loss = float(metrics["Loss"])
+    assert np.isfinite(loss)
+    # fixed format: the launcher asserts both processes computed the SAME
+    # loss (i.e. the gradient/metric psums really crossed processes)
+    _log(phase, f"OK loss={loss:.6f}")
+
+
+def run_multiproc_launcher(n_devices: int, n_procs: int) -> None:
+    """Spawn the worker processes and verify they agree.
+
+    Runs as its own subprocess phase (``--phase multiproc``) so the
+    parent watchdog in ``__graft_entry__`` bounds the whole rendezvous.
+    """
+    import socket
+    import subprocess
+
+    n_local = n_devices // n_procs
+    assert n_local * n_procs == n_devices
+
+    with socket.socket() as s:  # find a free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    # rewrite the device count for the WORKERS (the parent env carries
+    # the single-process count); keep the scheduler/watchdog flags
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_local}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    if env.get("FAKE_NPROC"):
+        env["FAKE_NPROC"] = str(n_local)
+
+    procs = []
+    for pid in range(n_procs):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "dissc_tpu.parallel.dryrun",
+             "--phase", "multiproc-worker", "--n-devices", str(n_local),
+             "--n-procs", str(n_procs), "--proc-id", str(pid),
+             "--coordinator", coordinator],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    ok = True
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate()
+        outs.append(out)
+        for line in out.splitlines():
+            print(f"  <w{pid}> {line}", flush=True)
+        if p.returncode != 0:
+            ok = False
+            _log("multiproc", f"worker {pid} FAILED rc={p.returncode}")
+    if not ok:
+        raise RuntimeError("multiproc workers failed")
+    losses = set()
+    for out in outs:
+        for line in out.splitlines():
+            if "OK loss=" in line:
+                losses.add(line.rsplit("loss=", 1)[1].strip())
+    assert len(losses) == 1, (
+        f"processes disagree on the psum'd loss: {losses}")
+    _log("multiproc", f"OK {n_procs} processes x {n_local} devices, "
+                      f"agreed loss={losses.pop()}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--phase", required=True, choices=["prosody", "gan"])
+    parser.add_argument("--phase", required=True,
+                        choices=["prosody", "gan", "multiproc",
+                                 "multiproc-worker"])
     parser.add_argument("--n-devices", type=int, default=8)
     parser.add_argument("--shard", default="tp",
                         choices=["tp", "dp", "replicated"])
+    parser.add_argument("--n-procs", type=int, default=2)
+    parser.add_argument("--proc-id", type=int, default=0)
+    parser.add_argument("--coordinator", default="127.0.0.1:12765")
     args = parser.parse_args(argv)
+
+    if args.phase == "multiproc":
+        # launcher only spawns subprocesses — it must not touch jax
+        run_multiproc_launcher(args.n_devices, args.n_procs)
+        return 0
 
     _force_cpu(args.n_devices)
     import jax
@@ -258,6 +411,9 @@ def main(argv=None) -> int:
 
     if args.phase == "prosody":
         run_prosody_phase(args.n_devices)
+    elif args.phase == "multiproc-worker":
+        run_multiproc_worker(args.n_devices, args.n_procs, args.proc_id,
+                             args.coordinator)
     else:
         run_gan_phase(args.n_devices, args.shard)
     return 0
