@@ -229,6 +229,56 @@ def main():
     except Exception as e:
         print(f"bf16 secondary bench unavailable: {e}", file=sys.stderr)
 
+    # Training throughput (VERDICT r4 item 3): the b64 GAN train step in
+    # f32 and bf16 — the reference's only training perf statement is
+    # 400k steps in "a couple of days" on 2 GPUs (README.md:192, ~2.3
+    # steps/s); putting it in the driver-parsed record makes a training
+    # regression visible round-over-round.  Chained-steps discipline:
+    # distinct batches, force-materialise the FINAL state.
+    train_ms = {}
+    try:
+        from dissc_tpu.train.vocoder_trainer import init_gan_state, make_gan_train_step
+
+        def bench_train(tag, **overrides):
+            hb = VocoderConfig(batch_size=64, **overrides)
+            seg_frames = hb.segment_size // hb.code_hop_size
+            state, gen_tx, disc_tx = init_gan_state(hb, key, seg_frames)
+            step, _ = make_gan_train_step(hb, gen_tx, disc_tx)
+            tb = []
+            for i in range(8):
+                tb.append({
+                    "code": jnp.asarray(rng.integers(0, 100, (64, seg_frames))
+                                        .astype(np.int32)),
+                    "f0": jnp.asarray(rng.normal(0, 1, (64, seg_frames, 1))
+                                      .astype(np.float32)),
+                    "spkr": jnp.asarray(rng.integers(0, 100, (64, 1))
+                                        .astype(np.int32)),
+                    "audio": jnp.asarray(
+                        (rng.standard_normal((64, hb.segment_size)) * 0.3)
+                        .astype(np.float32)),
+                })
+            state, _ = step(state, tb[0])  # compile
+            leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
+            _ = float(jnp.sum(leaf))
+            best = None
+            for _trial in range(2):
+                t0 = time.time()
+                for i in range(1, 7):
+                    state, _m = step(state, tb[i])
+                leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
+                _ = float(jnp.sum(leaf))
+                dt = (time.time() - t0) / 6
+                best = dt if best is None else min(best, dt)
+            print(f"train step [{tag}]: {best*1e3:.1f} ms/step @ b64 "
+                  f"({1/best:.2f} steps/s)", file=sys.stderr)
+            return best * 1e3
+
+        train_ms["f32"] = bench_train("f32")
+        train_ms["bf16"] = bench_train(
+            "bf16", compute_dtype="bfloat16", disc_compute_dtype="bfloat16")
+    except Exception as e:
+        print(f"train-step bench unavailable: {e}", file=sys.stderr)
+
     record = {
         "metric": "e2e_conversion_rtf_per_chip",
         "value": round(rtf, 6),
@@ -238,6 +288,12 @@ def main():
     if bf16_rtf is not None:
         record["bf16_rtf"] = round(bf16_rtf, 6)
         record["bf16_vs_baseline"] = round(0.05 / bf16_rtf, 3)
+    if train_ms:
+        record["train_step_ms_f32"] = round(train_ms["f32"], 1)
+        record["steps_per_s_f32"] = round(1000.0 / train_ms["f32"], 3)
+        if "bf16" in train_ms:
+            record["train_step_ms_bf16"] = round(train_ms["bf16"], 1)
+            record["steps_per_s_bf16"] = round(1000.0 / train_ms["bf16"], 3)
     print(json.dumps(record))
 
 
