@@ -126,8 +126,14 @@ class VocoderConfig:
     # whole multi-scale stack with a hand-written backward — polyphase
     # input-gradients (no lhs_dilation zero buffers), leaky-relu masks
     # recovered from the feature maps, no weight-gradient paths.  The
-    # D step keeps the standard flax apply.  Targets the round-3
+    # D step keeps the standard flax apply.  Targeted the round-3
     # roofline finding (MSD G-step HBM-bound, 28.1 GB vs ~10 GB floor).
+    # Measured NULL result composed (round-5 quiet-host A/B, all three
+    # dtype configs back-to-back: f32 246.9 vs 234.3 ms; disc-bf16 213.7
+    # vs 208.9; full-bf16 202.7 vs 198.1 — artifacts/msd_fused_ab_r5.log):
+    # like s2d and the polyphase backward before it, the custom_vjp
+    # boundary forfeits more XLA fusion than the per-conv savings return.
+    # Kept opt-in, equivalence-tested (tests/test_msd_fused.py).
     msd_fused_gstep: bool = False
     # Discriminator compute dtype for training ('float32' | 'bfloat16').
     # bf16 runs the MPD/MSD conv stacks (the dominant GAN-step cost) at
