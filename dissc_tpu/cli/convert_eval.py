@@ -49,6 +49,9 @@ def main(argv=None):
                         help="[dissc_p, dissc_l, dissc_b]")
     parser.add_argument("--sort_gt", action="store_true")
     parser.add_argument("--whisper_model", default=None)
+    parser.add_argument("--dtw_align", action="store_true",
+                        help="DTW-transfer TextGrids from the reference "
+                             "recordings instead of uniform fallback grids")
     args = parser.parse_args(argv)
     c = _init_params(args)
 
@@ -153,7 +156,15 @@ def main(argv=None):
             )
     else:
         print("mfa binary not found — FFE/duration metrics will use uniform "
-              "fallback grids")
+              "fallback grids" + (" (dtw_align overrides below)"
+                                  if args.dtw_align else ""))
+
+    if args.dtw_align:
+        from dissc_tpu.eval.align import write_dtw_textgrids
+
+        n = write_dtw_textgrids(f"results/{args.data}", args.dissc_type,
+                                c["trgt_spk"])
+        print(f"dtw_align: wrote {n} synthetic TextGrids")
 
     # 6. metrics
     transcribe = None

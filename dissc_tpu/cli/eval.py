@@ -11,6 +11,11 @@ def main(argv=None):
                         default=["p231", "p239", "p245", "p270"])
     parser.add_argument("--whisper_model", default=None,
                         help="Local Whisper checkpoint dir; omit to skip WER/CER")
+    parser.add_argument("--dtw_align", action="store_true",
+                        help="Synthesize TextGrids by DTW boundary transfer "
+                             "from the reference recordings (native fallback "
+                             "when mfa is absent; default keeps the "
+                             "reference's uniform-grid behaviour)")
     args = parser.parse_args(argv)
 
     if args.device == "cpu":
@@ -33,6 +38,12 @@ def main(argv=None):
         from dissc_tpu.eval.asr import load_whisper
 
         transcribe = load_whisper(args.whisper_model, args.device)
+
+    if args.dtw_align:
+        from dissc_tpu.eval.align import write_dtw_textgrids
+
+        n = write_dtw_textgrids(args.base_path, args.method, args.target_speakers)
+        print(f"dtw_align: wrote {n} synthetic TextGrids")
 
     errs = calc_errors(args.base_path, args.method, args.target_speakers, transcribe)
     log_results(errs, args.base_path, args.method)

@@ -110,6 +110,15 @@ def main():
     err = calc_errors(res_dir, args.method, ["s1"], identity_transcribe)
     summary = log_results(err, res_dir, args.method)
 
+    # second pass with the native DTW fallback aligner (opt-in path):
+    # boundary-transferred grids replace the uniform fallback
+    from dissc_tpu.eval.align import write_dtw_textgrids
+
+    n_dtw = write_dtw_textgrids(res_dir, args.method, ["s1"])
+    print(f"[eval_real] wrote {n_dtw} DTW TextGrids", flush=True)
+    err_dtw = calc_errors(res_dir, args.method, ["s1"], identity_transcribe)
+    summary_dtw = log_results(err_dtw, res_dir, args.method)
+
     out = {
         "checkpoint_steps": 3000,
         "corpus": "reference bundled wavs split into 4 utterances "
@@ -122,6 +131,9 @@ def main():
                      "behaviour when MFA is absent)",
         "metrics": {k: (None if isinstance(v, float) and np.isnan(v) else v)
                     for k, v in summary.items()},
+        "metrics_dtw_aligned": {
+            k: (None if isinstance(v, float) and np.isnan(v) else v)
+            for k, v in summary_dtw.items()},
         "n_eval_files": len(err["len"]),
     }
     art = os.path.join(REPO, "artifacts", "real_speech_r5_metrics.json")
