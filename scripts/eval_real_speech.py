@@ -86,8 +86,15 @@ def main():
     for i, name in enumerate(names, 1):
         seq = f"{i:03d}"
         # no real transcripts exist for the bundled wavs; a deterministic
-        # pseudo-transcript exercises the WER/CER path end to end
-        text = f"bundled real speech utterance {name.replace('_', ' ')}"
+        # pseudo-transcript exercises the WER/CER path end to end.
+        # Digit-free: the reference normalisation maps digits to words on
+        # the HYPOTHESIS only (eval.py:36-47), so digits in the text
+        # would make even an identity transcriber score nonzero WER.
+        digit_words = {d: w for d, w in zip("0123456789",
+                       ["zero", "one", "two", "three", "four", "five",
+                        "six", "seven", "eight", "nine"])}
+        clean = "".join(digit_words.get(c, c) for c in name.replace("_", " "))
+        text = f"bundled real speech utterance {clean}"
         shutil.copy(os.path.join(stage, f"{name}_gt.wav"),
                     os.path.join(orig, f"s1_{seq}.wav"))
         with open(os.path.join(orig, f"s1_{seq}.txt"), "w") as f:
@@ -101,11 +108,13 @@ def main():
     n_grids = write_uniform_gt_textgrids(res_dir)
     print(f"[eval_real] wrote {n_grids} uniform gt TextGrids", flush=True)
 
-    transcripts = {os.path.splitext(f)[0]: open(f).readline().strip()
+    transcripts = {os.path.normpath(os.path.splitext(f)[0]):
+                   open(f).readline().strip()
                    for f in glob.glob(f"{gen}/*.txt")}
 
     def identity_transcribe(path):
-        return transcripts[os.path.splitext(path)[0]]
+        # calc_errors passes glob paths with doubled separators
+        return transcripts[os.path.normpath(os.path.splitext(path)[0])]
 
     err = calc_errors(res_dir, args.method, ["s1"], identity_transcribe)
     summary = log_results(err, res_dir, args.method)
