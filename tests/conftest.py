@@ -39,6 +39,7 @@ import pytest  # noqa: E402
 _HEAVY_MODULES = {
     "test_bf16",
     "test_cli",
+    "test_compat_vq",
     "test_convergence_toy",
     "test_convert_eval_pipeline",
     "test_ecapa",
@@ -49,6 +50,7 @@ _HEAVY_MODULES = {
     "test_layers_torch_parity",
     "test_mel",
     "test_models",
+    "test_msd_fused",
     "test_quantizer_trainer",
     "test_reference_model_parity",
     "test_streaming",

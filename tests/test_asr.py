@@ -55,7 +55,10 @@ def test_happy_path_with_stubbed_transformers(tmp_path, monkeypatch, rng):
         transformers.WhisperForConditionalGeneration, "from_pretrained",
         classmethod(lambda cls, path, **kw: _StubModel()))
 
-    transcribe = load_whisper("/fake/dir")
+    # native=False: this test covers the torch/transformers fallback
+    # pipeline; the native engine's plumbing is covered in
+    # tests/test_whisper.py::test_transcriber_plumbing
+    transcribe = load_whisper("/fake/dir", native=False)
 
     # 16 kHz file passes through unresampled
     p16 = str(tmp_path / "a16.wav")
