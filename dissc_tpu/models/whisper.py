@@ -477,14 +477,27 @@ class WhisperTranscriber:
             max_len=self.max_len))
 
     def transcribe_wav(self, wav: np.ndarray) -> str:
+        return self.transcribe_batch([wav])[0]
+
+    def transcribe_batch(self, wavs) -> list:
+        """Batched decode: one device program over N padded 30 s chunks.
+
+        The KV-cached greedy scan carries the whole batch, so N files
+        cost ~one file's sequential decode — the serving shape for the
+        eval sweep (the reference transcribes one file per call,
+        ``eval.py:156``).
+        """
         mel = log_mel_spectrogram(
-            jnp.asarray(pad_or_trim(wav)[None]), self.cfg.num_mel_bins)
-        toks = self._jitted(self.params, mel=mel,
-                            initial_tokens=self.initial_tokens)
-        ids = np.asarray(toks)[0]
-        ids = ids[: int(np.argmax(ids == self.eos_id))] if (
-            ids == self.eos_id).any() else ids
-        return self.tokenizer.decode(ids, skip_special_tokens=True)
+            jnp.asarray(np.stack([pad_or_trim(np.asarray(w)) for w in wavs])),
+            self.cfg.num_mel_bins)
+        toks = np.asarray(self._jitted(self.params, mel=mel,
+                                       initial_tokens=self.initial_tokens))
+        out = []
+        for ids in toks:
+            if (ids == self.eos_id).any():
+                ids = ids[: int(np.argmax(ids == self.eos_id))]
+            out.append(self.tokenizer.decode(ids, skip_special_tokens=True))
+        return out
 
     def __call__(self, path: str) -> str:
         from dissc_tpu.core.wav import read_wav

@@ -145,6 +145,12 @@ def test_transcriber_plumbing(rng, tmp_path):
     text = tr(p)
     assert isinstance(text, str)
 
+    # batched path agrees with the single-file path (same program, B=2)
+    wav2 = (rng.standard_normal(6000) * 0.1).astype(np.float32)
+    batch = tr.transcribe_batch([wav, wav2])
+    assert len(batch) == 2
+    assert batch[0] == text
+
 
 def test_log_mel_matches_hf_feature_extractor(rng):
     fe = transformers.WhisperFeatureExtractor(feature_size=80)
