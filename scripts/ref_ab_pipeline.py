@@ -345,7 +345,8 @@ def main(root: str) -> dict:
     report["pass"] = all(report[k]["pass"] for k in
                          ("A_prosody_convert", "B_vocoder", "C_metric_suite"))
 
-    out = os.path.join(REPO, "artifacts", "ref_ab_r4.json")
+    out = os.path.join(REPO, "artifacts",
+                       os.environ.get("REF_AB_OUT", "ref_ab_r4.json"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
     # numpy scalars (np.bool_/np.float64 from the comparisons) are not
     # JSON-native; .item() converts them.  Sanitize AFTER dropping the
