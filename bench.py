@@ -190,9 +190,19 @@ def main():
         voc_bf = CodeGenerator(h_bf)
         voc_bf_apply = jax.jit(
             lambda p, c, f, s: voc_bf.apply({"params": p}, c, f, s))
+        # bf16 HuBERT encode too (same params; round-5 compute_dtype) —
+        # the full serving pipeline at reduced precision.  The k-means
+        # argmin stays f32 so units remain discrete-stable.
+        import dataclasses as _dc
+
+        hub_bf = HubertEncoder(_dc.replace(hub_cfg, compute_dtype="bfloat16"))
+        encode_bf = jax.jit(
+            lambda p, wav: kmeans_quantize(hub_bf.apply({"params": p}, wav),
+                                           codebook)
+        )
 
         def convert_bf16(wavs, lengths, spk):
-            seqs = encode(hub_params, wavs)[:, :T]
+            seqs = encode_bf(hub_params, wavs)[:, :T]
             out_seqs, out_lens, f0 = _convert_batch(
                 len_model, len_vars, (jnp.float32(4.0), jnp.float32(2.0)),
                 pitch_model, pitch_vars, id2mean, id2std,

@@ -40,6 +40,16 @@ class HubertConfig:
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     output_layer: int = 6  # GSLM/textlesslib km100 operates on layer-6 features
+    # Computation dtype for the conv/matmul stacks ('bfloat16' to run the
+    # encoder at 2x MXU peak; params stay f32).  None = float32, the
+    # dtype the <2e-4 transformers parity is proven on — same opt-in
+    # policy as the vocoder's compute_dtype (core/config.py).  The
+    # k-means argmin always runs f32 (bf16 distances flip near-tie units).
+    compute_dtype: Optional[str] = None
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
 
 class FeatureExtractor(nn.Module):
@@ -55,7 +65,7 @@ class FeatureExtractor(nn.Module):
             zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
         ):
             h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
-                        name=f"conv_{i}")(h)
+                        dtype=self.cfg.dtype, name=f"conv_{i}")(h)
             if i == 0:
                 # per-channel affine norm (HF GroupNorm with groups == channels)
                 h = nn.GroupNorm(num_groups=dim, epsilon=self.cfg.layer_norm_eps,
@@ -82,14 +92,16 @@ class PositionalConvEmbedding(nn.Module):
         )
         g = self.param("g", nn.initializers.ones, (k, 1, 1))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True) + 1e-12)
-        kernel = g * v / norm
+        kernel = g * v / norm  # renormalize in f32 (weight-sized, cheap)
         bias = self.param("bias", nn.initializers.zeros, (c.hidden_size,))
         pad = k // 2
+        dt = c.dtype or x.dtype
         h = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1,), padding=[(pad, pad)],
+            x.astype(dt), kernel.astype(dt), window_strides=(1,),
+            padding=[(pad, pad)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=c.conv_pos_groups,
-        ) + bias
+        ) + bias.astype(dt)
         if k % 2 == 0:
             h = h[:, :-1, :]
         return nn.gelu(h, approximate=False)
@@ -106,22 +118,24 @@ class TransformerLayer(nn.Module):
         d, nh = c.hidden_size, c.num_heads
         hd = d // nh
 
+        dt = c.dtype
         residual = x
-        q = nn.Dense(d, name="q_proj")(x).reshape(*x.shape[:-1], nh, hd)
-        k = nn.Dense(d, name="k_proj")(x).reshape(*x.shape[:-1], nh, hd)
-        v = nn.Dense(d, name="v_proj")(x).reshape(*x.shape[:-1], nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        q = nn.Dense(d, dtype=dt, name="q_proj")(x).reshape(*x.shape[:-1], nh, hd)
+        k = nn.Dense(d, dtype=dt, name="k_proj")(x).reshape(*x.shape[:-1], nh, hd)
+        v = nn.Dense(d, dtype=dt, name="v_proj")(x).reshape(*x.shape[:-1], nh, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if padding_mask is not None:
             scores = jnp.where(padding_mask[:, None, None, :], scores, -1e9)
-        attn = jax.nn.softmax(scores, axis=-1)
+        # softmax in f32: bf16 exp/normalize visibly shifts attention rows
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(*x.shape)
-        x = residual + nn.Dense(d, name="out_proj")(ctx)
+        x = residual + nn.Dense(d, dtype=dt, name="out_proj")(ctx)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="self_attn_layer_norm")(x)
 
         residual = x
-        h = nn.Dense(c.intermediate_size, name="fc1")(x)
+        h = nn.Dense(c.intermediate_size, dtype=dt, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
-        x = residual + nn.Dense(d, name="fc2")(h)
+        x = residual + nn.Dense(d, dtype=dt, name="fc2")(h)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_layer_norm")(x)
 
 
@@ -136,7 +150,7 @@ class HubertEncoder(nn.Module):
         out_layer = output_layer if output_layer is not None else c.output_layer
         h = FeatureExtractor(c, name="feature_extractor")(wav)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="fp_layer_norm")(h)
-        h = nn.Dense(c.hidden_size, name="fp_projection")(h)
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="fp_projection")(h)
 
         h = h + PositionalConvEmbedding(c, name="pos_conv")(h)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_layer_norm")(h)
@@ -151,8 +165,11 @@ def kmeans_quantize(features: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray
     """Nearest-centroid assignment: [B, F, D] x [K, D] -> [B, F] int32.
 
     One [BF, D] x [D, K] matmul (MXU) + argmin, replacing textlesslib's
-    sklearn k-means predict.
+    sklearn k-means predict.  Always f32: bf16 distances flip argmin on
+    near-tie frames, changing the discrete units.
     """
+    features = features.astype(jnp.float32)
+    codebook = codebook.astype(jnp.float32)
     sq = jnp.sum(features**2, axis=-1, keepdims=True)
     cb_sq = jnp.sum(codebook**2, axis=-1)
     dots = jnp.einsum("bfd,kd->bfk", features, codebook)
