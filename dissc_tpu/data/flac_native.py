@@ -91,6 +91,15 @@ def read_flac(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     if n_samples == 0:
         # total-samples unknown in STREAMINFO: upper-bound by stream size
         n_samples = len(blob) * 8 // max(bits, 1) + 65536
+    # A corrupt STREAMINFO can declare an absurd total and stall the
+    # process on a multi-GB allocation.  Even all-CONSTANT frames need a
+    # ~10-byte frame header per <=65535 samples, so ~8192 samples/byte
+    # bounds what the stream could physically encode.
+    max_plausible = len(blob) * 8192 + 65536
+    if n_samples > max_plausible:
+        raise ValueError(
+            f"corrupt FLAC STREAMINFO: declares {n_samples} samples but the "
+            f"stream is only {len(blob)} bytes: {path}")
     out = np.zeros(n_samples * channels, np.int32)
     got = lib.flac_decode(blob, len(blob),
                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -30,6 +30,18 @@ struct WavData {
   std::vector<float> samples;  // normalised to the reference convention
 };
 
+// Remaining bytes from the current position to EOF; 0 on any failure.
+// Corrupt/fuzzed headers can declare multi-GB chunk sizes — every chunk
+// read must be clamped to what the file actually holds, or a single
+// damaged file stalls the loader on a bogus allocation.
+long remaining_bytes(FILE* f) {
+  long pos = std::ftell(f);
+  if (pos < 0 || std::fseek(f, 0, SEEK_END)) return 0;
+  long end = std::ftell(f);
+  if (end < 0 || std::fseek(f, pos, SEEK_SET)) return 0;
+  return end > pos ? end - pos : 0;
+}
+
 // Minimal RIFF/WAVE PCM16 reader (mono or averaged multi-channel).
 bool read_wav(const char* path, WavData* out) {
   FILE* f = std::fopen(path, "rb");
@@ -49,7 +61,12 @@ bool read_wav(const char* path, WavData* out) {
   char chunk_id[4];
   uint32_t chunk_size;
   while (std::fread(chunk_id, 1, 4, f) == 4 && std::fread(&chunk_size, 4, 1, f) == 1) {
+    long avail = remaining_bytes(f);
+    if (static_cast<long>(chunk_size) > avail || static_cast<long>(chunk_size) < 0) {
+      chunk_size = static_cast<uint32_t>(avail);  // truncated/corrupt header
+    }
     if (!std::memcmp(chunk_id, "fmt ", 4)) {
+      if (chunk_size < 16) break;  // PCM fmt chunk is >= 16 bytes
       std::vector<char> fmt(chunk_size);
       if (std::fread(fmt.data(), 1, chunk_size, f) != chunk_size) break;
       std::memcpy(&audio_format, fmt.data() + 0, 2);
@@ -59,7 +76,7 @@ bool read_wav(const char* path, WavData* out) {
       have_fmt = true;
     } else if (!std::memcmp(chunk_id, "data", 4)) {
       raw.resize(chunk_size / 2);
-      if (std::fread(raw.data(), 1, chunk_size, f) != chunk_size) break;
+      if (std::fread(raw.data(), 2, chunk_size / 2, f) != chunk_size / 2) break;
       have_data = true;
     } else {
       std::fseek(f, (chunk_size + 1) & ~1u, SEEK_CUR);
@@ -113,7 +130,12 @@ int wav_info(const char* path, int* sr, long* n_samples) {
   uint32_t sample_rate = 0;
   long data_bytes = -1;
   while (std::fread(id, 1, 4, f) == 4 && std::fread(&size, 4, 1, f) == 1) {
+    long avail = remaining_bytes(f);
+    if (static_cast<long>(size) > avail || static_cast<long>(size) < 0) {
+      size = static_cast<uint32_t>(avail);  // truncated/corrupt header
+    }
     if (!std::memcmp(id, "fmt ", 4)) {
+      if (size < 16) break;  // PCM fmt chunk is >= 16 bytes
       std::vector<char> fmt(size);
       if (std::fread(fmt.data(), 1, size, f) != size) break;
       std::memcpy(&channels, fmt.data() + 2, 2);
