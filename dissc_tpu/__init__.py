@@ -20,3 +20,12 @@ Pallas kernels for the vocoder hot path (``dissc_tpu.kernels``).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: keep `import dissc_tpu` free of jax/flax import cost
+    if name == "ConversionPipeline":
+        from dissc_tpu.pipeline import ConversionPipeline
+
+        return ConversionPipeline
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
