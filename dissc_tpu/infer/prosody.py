@@ -232,6 +232,11 @@ class ProsodyConverter:
         in_units = np.asarray([u for u in record["units"] if u != self.n_tokens])
         pitch = np.asarray(record["f0"], np.float64)[: len(in_units)]
         if norm_pitch:
+            if self.id2pitch_mean is None or self.id2pitch_std is None:
+                raise ValueError(
+                    "norm_pitch=True on the no-pitch-model path needs per-"
+                    "speaker f0 statistics; load with f0_stats (reference "
+                    "--f0_stats, infer.py:188) or pass norm_pitch=False")
             name = record["audio"].split("_")[0]
             sid = spk_id_dict[name]
             ii = pitch != 0

@@ -141,7 +141,7 @@ class ConversionPipeline:
             raise ValueError("record has no 'audio' name; pass source_speaker")
         converted = self.prosody.convert_records(
             [rec], self.spk_dict, target_speaker=target_speaker,
-            norm_pitch=self.norm_pitch and self.prosody.pitch_model is not None,
+            norm_pitch=self.norm_pitch,
         )[0]
         target_id = self.spk_dict[target_speaker]
         f0 = np.asarray(converted["f0"], np.float32)
@@ -183,7 +183,7 @@ class ConversionPipeline:
         speaker lookup.  Returns (waveforms, sample_rate)."""
         converted = self.prosody.convert_records(
             records, self.spk_dict, target_speaker=target_speaker,
-            norm_pitch=self.norm_pitch and self.prosody.pitch_model is not None,
+            norm_pitch=self.norm_pitch,
             batch_size=batch_size,
         )
         target_id = self.spk_dict[target_speaker]

@@ -152,6 +152,60 @@ def test_renorm_f0_and_errors(pipe):
 
 
 @pytest.mark.fast
+def test_heuristic_pitch_path_honors_norm_pitch(artifacts, monkeypatch):
+    """Without a pitch model the pipeline falls back to the reference's
+    nearest-interpolation heuristic (``utils.py:47-52``), and the default
+    ``norm_pitch=True`` must still whiten the source contour by the
+    SOURCE speaker's stats (``infer.py:40-41``) before the vocoder sees
+    it — the pipeline may not silently mask the flag on this path."""
+    kw = dict(
+        vocoder_ckpt=str(artifacts / "vocoder"),
+        id_to_spkr=str(artifacts / "id_to_spkr.pkl"),
+        len_model_dir=str(artifacts / "len"),
+        f0_stats=str(artifacts / "f0_stats.pkl"),
+    )
+    rng = np.random.default_rng(7)
+    rec = _record(rng, "p231")
+
+    captured = []
+    for norm in (True, False):
+        p = ConversionPipeline.load(norm_pitch=norm, **kw)
+        assert p.prosody.pitch_model is None
+        orig = p.vocoder.synthesize_utterances
+
+        def spy(items, _orig=orig, **kwargs):
+            captured.append(items[0]["f0"])
+            return _orig(items, **kwargs)
+
+        monkeypatch.setattr(p.vocoder, "synthesize_utterances", spy)
+        p.convert_record(rec, "p245")
+    whitened, raw = captured
+    # p231: mean 140, std 15 -> voiced ~150 Hz whitens to ~(150-140)/15
+    assert np.abs(whitened[whitened != 0]).max() < 10.0
+    assert raw[raw != 0].min() > 100.0
+
+
+@pytest.mark.fast
+def test_heuristic_norm_pitch_without_stats_is_a_clean_error(artifacts):
+    p = ConversionPipeline.load(
+        vocoder_ckpt=str(artifacts / "vocoder"),
+        id_to_spkr=str(artifacts / "id_to_spkr.pkl"),
+        len_model_dir=str(artifacts / "len"),
+    )
+    rec = _record(np.random.default_rng(8), "p231")
+    with pytest.raises(ValueError, match="f0 statistics"):
+        p.convert_record(rec, "p245")
+    # opting out of normalisation works without stats
+    w, _ = ConversionPipeline.load(
+        vocoder_ckpt=str(artifacts / "vocoder"),
+        id_to_spkr=str(artifacts / "id_to_spkr.pkl"),
+        len_model_dir=str(artifacts / "len"),
+        norm_pitch=False,
+    ).convert_record(rec, "p245")
+    assert w.size > 0 and np.isfinite(w).all()
+
+
+@pytest.mark.fast
 def test_source_speaker_override(pipe):
     """A record without a reference-style name converts when the source
     speaker is passed explicitly."""
