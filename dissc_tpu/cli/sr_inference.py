@@ -33,9 +33,22 @@ def main(argv=None):
     parser.add_argument("--sample_df", default=None, type=Path)
     parser.add_argument("-n", type=int, default=-1)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--data_devices", type=int, default=0,
+        help="shard synthesis batches over this many chips (a data-axis "
+        "mesh; 0 = single device — the multi-chip replacement for the "
+        "reference's per-GPU process pool)")
     args = parser.parse_args(argv)
 
     seed_everything(52)
+    mesh = None
+    if args.data_devices:
+        import jax
+
+        from dissc_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=args.data_devices, n_model=1,
+                           devices=jax.devices()[: args.data_devices])
     rtf = run_inference(
         checkpoint_file=args.checkpoint_file,
         input_code_file=args.input_code_file,
@@ -53,6 +66,7 @@ def main(argv=None):
         unseen_f0_path=str(args.unseen_f0) if args.unseen_f0 else None,
         sample_df_path=str(args.sample_df) if args.sample_df else None,
         parts=args.parts,
+        mesh=mesh,
     )
     print(f"\nmean RTF: {rtf:.4f}")
 

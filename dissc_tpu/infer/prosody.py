@@ -114,10 +114,13 @@ class ProsodyConverter:
     """
 
     def __init__(self, n_tokens: int = 100, expand_factor: float = 2.0,
-                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+                 buckets: Sequence[int] = DEFAULT_BUCKETS, mesh=None):
         self.n_tokens = n_tokens
         self.expand_factor = expand_factor
         self.buckets = buckets
+        # mesh: shard conversion batches over the ``data`` axis (params
+        # replicated; the whole program is per-sample, collective-free)
+        self.mesh = mesh
         self.truncation_count = 0  # conversions clipped by expand_factor
         self.len_model = None
         self.len_variables = None
@@ -137,8 +140,9 @@ class ProsodyConverter:
         id2pitch_mean: Optional[np.ndarray] = None,
         id2pitch_std: Optional[np.ndarray] = None,
         n_tokens: int = 100,
+        mesh=None,
     ) -> "ProsodyConverter":
-        self = cls(n_tokens=n_tokens)
+        self = cls(n_tokens=n_tokens, mesh=mesh)
         if len_model_dir:
             self.len_model = LenPredictor(n_tokens=n_tokens, n_speakers=n_speakers)
             self.len_variables = load_checkpoint(os.path.join(len_model_dir, "best_model.pth"))
@@ -190,14 +194,27 @@ class ProsodyConverter:
                     spk[j, 0] = spk_id_dict[
                         target_speaker if target_speaker is not None else name
                     ]
+                args = (jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(spk))
+                if self.mesh is not None:
+                    from dissc_tpu.parallel.mesh import shard_batch
+
+                    n = self.mesh.shape["data"]
+                    pad = (-B) % n
+                    if pad:
+                        # round up to the data-axis size (padded rows repeat
+                        # the last item and are dropped below)
+                        args = tuple(jnp.concatenate(
+                            [a, jnp.repeat(a[-1:], pad, axis=0)]) for a in args)
+                    args = shard_batch(self.mesh, args)
                 out_seqs, out_lens, f0 = _convert_batch(
                     self.len_model, self.len_variables, self.len_norm_stats,
                     self.pitch_model, self.pitch_variables, id2mean, id2std,
-                    jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(spk),
+                    *args,
                     in_cap=in_cap, out_cap=out_cap, norm_pitch=norm_pitch,
                     n_tokens=self.n_tokens,
                 )
-                out_seqs, out_lens, f0 = map(np.asarray, (out_seqs, out_lens, f0))
+                out_seqs, out_lens, f0 = (np.asarray(a)[:B]
+                                          for a in (out_seqs, out_lens, f0))
                 for j, i in enumerate(chunk):
                     # out_cap = expand_factor * in_cap; predicted totals beyond
                     # it are clamped (rhythm conversion stays ~length-preserving,

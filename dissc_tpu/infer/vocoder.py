@@ -55,7 +55,8 @@ class VocoderEngine:
     def __init__(self, h: VocoderConfig, gen_params,
                  frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
                  stream_long: bool = True, stream_chunk: int = 512,
-                 exact_lengths: bool = False, fold_weights: bool = True):
+                 exact_lengths: bool = False, fold_weights: bool = True,
+                 mesh=None):
         if fold_weights and not h.get("folded_weights"):
             # remove_weight_norm equivalent: fold every (v, g) pair into a
             # direct kernel once, so apply() skips the per-call
@@ -79,6 +80,16 @@ class VocoderEngine:
         # perturbs the final ~receptive-field of audio (~60 ms) and
         # compiles O(len(buckets)) programs instead of O(distinct lengths).
         self.exact_lengths = exact_lengths
+        # mesh: a jax.sharding.Mesh with a ``data`` axis — synthesis then
+        # shards the batch dim across chips (params replicated; the
+        # generator is per-sample, so the forward needs no collectives).
+        # This is the multi-chip serving shape replacing the reference's
+        # one-GPU-per-process inference pool (sr/inference.py:288-292).
+        self.mesh = mesh
+        if mesh is not None:
+            from dissc_tpu.parallel.mesh import replicate
+
+            self.params = jax.device_put(self.params, replicate(mesh))
         self._streamer = None
         self._jitted = jax.jit(
             lambda params, code, f0, spkr: self.model.apply(
@@ -113,10 +124,26 @@ class VocoderEngine:
                          spkr: Optional[np.ndarray]) -> Tuple[np.ndarray, float]:
         """[B, T] codes (+f0/spkr) -> ([B, T*hop] float waveform, rtf)."""
         start = time.time()
-        y = self._jitted(self.params, jnp.asarray(code),
-                         None if f0 is None else jnp.asarray(f0),
-                         None if spkr is None else jnp.asarray(spkr))
-        y = np.asarray(jax.block_until_ready(y))
+        B = int(np.shape(code)[0])
+        code = jnp.asarray(code)
+        f0 = None if f0 is None else jnp.asarray(f0)
+        spkr = None if spkr is None else jnp.asarray(spkr)
+        if self.mesh is not None:
+            from dissc_tpu.parallel.mesh import shard_batch
+
+            n = self.mesh.shape["data"]
+            pad = (-B) % n
+            if pad:
+                # round the batch up to the data-axis size by repeating the
+                # last row; padded rows are cut again below
+                rep = lambda a: jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad, axis=0)])
+                code = rep(code)
+                f0 = None if f0 is None else rep(f0)
+                spkr = None if spkr is None else rep(spkr)
+            code, f0, spkr = shard_batch(self.mesh, (code, f0, spkr))
+        y = self._jitted(self.params, code, f0, spkr)
+        y = np.asarray(jax.block_until_ready(y))[:B]
         dur = y.size / self.h.sampling_rate
         rtf = (time.time() - start) / dur
         return y, rtf
@@ -235,9 +262,10 @@ def run_inference(
     unseen_f0_path: Optional[str] = None,
     sample_df_path: Optional[str] = None,
     parts: bool = False,
+    mesh=None,
 ) -> float:
     """File-level driver mirroring the reference CLI flow.  Returns mean RTF."""
-    engine = VocoderEngine.from_checkpoint(checkpoint_file)
+    engine = VocoderEngine.from_checkpoint(checkpoint_file, mesh=mesh)
     h = engine.h
 
     if code_file is not None:

@@ -240,6 +240,54 @@ def run_prosody_phase(n_devices: int) -> None:
     _log(phase, f"OK loss={float(metrics['Loss']):.3f}")
 
 
+def run_serving_phase(n_devices: int) -> None:
+    """Batch-sharded inference over a data-only mesh (multi-chip serving,
+    the replacement for the reference's one-GPU-per-process inference
+    pool, ``sr/inference.py:288-292``): the VocoderEngine synthesizes a
+    1.5x-mesh batch of variable-length utterances — exercising the
+    pad-to-mesh rounding — and must match the single-device engine.  The
+    sharded forward is per-sample (no collectives), so this phase is
+    immune to the in-process-communicator constraint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dissc_tpu.infer.vocoder import VocoderEngine
+    from dissc_tpu.models.hifigan import CodeGenerator
+
+    phase = "serving"
+    mesh = _mesh(n_devices, 1)
+    _log(phase, f"mesh=({n_devices},1) backend={jax.default_backend()}")
+
+    h = tiny_gan_config(batch_size=2)
+    model = CodeGenerator(h)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8, 1), jnp.float32), jnp.zeros((1, 1), jnp.int32),
+    )["params"]
+    _log(phase, "params initialized")
+
+    rng = np.random.default_rng(3)
+    items = []
+    for _ in range(n_devices + max(n_devices // 2, 1)):  # non-multiple of mesh
+        T = int(rng.integers(4, 9))
+        items.append({
+            "code": rng.integers(0, h.num_embeddings, T).astype(np.int32),
+            "f0": rng.normal(0, 1, (T, 1)).astype(np.float32),
+            "spkr": rng.integers(0, 4, 1).astype(np.int32),
+        })
+    e1 = VocoderEngine(h, params, frame_buckets=(8,), stream_long=False)
+    w1, _ = e1.synthesize_utterances(items, batch_size=len(items))
+    _log(phase, "single-device engine done")
+    eN = VocoderEngine(h, params, frame_buckets=(8,), stream_long=False,
+                       mesh=mesh)
+    wN, _ = eN.synthesize_utterances(items, batch_size=len(items))
+    for a, b in zip(w1, wN):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+    _log(phase, f"OK {len(items)} utterances sharded over {n_devices} "
+                f"devices match the 1-device engine")
+
+
 def run_multiproc_worker(n_local: int, n_procs: int, proc_id: int,
                          coordinator: str) -> None:
     """One process of the 2-process rendezvous phase.
@@ -386,7 +434,7 @@ def run_multiproc_launcher(n_devices: int, n_procs: int) -> None:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--phase", required=True,
-                        choices=["prosody", "gan", "multiproc",
+                        choices=["prosody", "gan", "serving", "multiproc",
                                  "multiproc-worker"])
     parser.add_argument("--n-devices", type=int, default=8)
     parser.add_argument("--shard", default="tp",
@@ -411,6 +459,8 @@ def main(argv=None) -> int:
 
     if args.phase == "prosody":
         run_prosody_phase(args.n_devices)
+    elif args.phase == "serving":
+        run_serving_phase(args.n_devices)
     elif args.phase == "multiproc-worker":
         run_multiproc_worker(args.n_devices, args.n_procs, args.proc_id,
                              args.coordinator)

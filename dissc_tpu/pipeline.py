@@ -72,8 +72,12 @@ class ConversionPipeline:
         kmeans_codebook: Optional[str] = None,
         n_tokens: int = 100,
         norm_pitch: bool = True,
+        mesh=None,
         **vocoder_kw,
     ) -> "ConversionPipeline":
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis — both
+        engines then shard conversion batches across its chips (the
+        multi-chip serving shape; see ``parallel/mesh.py``)."""
         spk_dict = load_id_to_spkr(id_to_spkr)
         stats = load_f0_stats(f0_stats) if f0_stats else None
         id2mean = id2std = None
@@ -87,8 +91,10 @@ class ConversionPipeline:
             id2pitch_mean=id2mean,
             id2pitch_std=id2std,
             n_tokens=n_tokens,
+            mesh=mesh,
         )
-        vocoder = VocoderEngine.from_checkpoint(vocoder_ckpt, **vocoder_kw)
+        vocoder = VocoderEngine.from_checkpoint(vocoder_ckpt, mesh=mesh,
+                                                **vocoder_kw)
         encoder = None
         if hubert_weights and kmeans_codebook:
             from dissc_tpu.cli.encode import load_encoder

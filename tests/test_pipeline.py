@@ -214,3 +214,34 @@ def test_source_speaker_override(pipe):
     del rec["audio"]
     w, _ = pipe.convert_record(rec, "p245", source_speaker="p270")
     assert w.size > 0 and np.isfinite(w).all()
+
+
+@pytest.mark.fast
+def test_mesh_serving_matches_single_device(pipe, artifacts):
+    """Batch conversion sharded over an 8-virtual-device ``data`` mesh
+    reproduces the single-device waveforms — the multi-chip serving shape
+    replacing the reference's one-GPU-per-process inference pool
+    (``sr/inference.py:288-292``).  Both engines are per-sample programs,
+    so the sharded forward is collective-free (it runs on any host, no
+    in-process-communicator hazard) and a 5-record batch exercises the
+    pad-to-mesh rounding (5 -> 8 rows, padded rows dropped)."""
+    from dissc_tpu.parallel.mesh import create_mesh
+
+    mesh_pipe = ConversionPipeline.load(
+        vocoder_ckpt=str(artifacts / "vocoder"),
+        id_to_spkr=str(artifacts / "id_to_spkr.pkl"),
+        len_model_dir=str(artifacts / "len"),
+        f0_model_dir=str(artifacts / "pitch"),
+        f0_stats=str(artifacts / "f0_stats.pkl"),
+        mesh=create_mesh(n_data=8, n_model=1),
+    )
+    assert mesh_pipe.vocoder.mesh is not None
+    assert mesh_pipe.prosody.mesh is not None
+    rng = np.random.default_rng(9)
+    recs = [_record(rng, "p231", n=12 + 4 * (i % 2)) for i in range(5)]
+    w1, _ = pipe.convert_batch(recs, "p245")
+    w8, _ = mesh_pipe.convert_batch(recs, "p245")
+    assert len(w1) == len(w8) == 5
+    for a, b in zip(w1, w8):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
