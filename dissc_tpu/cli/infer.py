@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Path for specific conversions for each sample")
     parser.add_argument("--wild_sample", action="store_true")
     parser.add_argument("--id_to_spkr", default=None)
+    parser.add_argument(
+        "--data_devices", type=int, default=0,
+        help="shard conversion batches over this many chips (a data-axis "
+        "mesh; 0 = single device)")
     return parser
 
 
@@ -52,6 +56,14 @@ def main(argv=None):
         "If we use an unknown speaker we must convert both pitch and rhythm"
     seed_everything(args.seed)
     os.makedirs(args.out_path, exist_ok=True)
+    mesh = None
+    if args.data_devices:
+        import jax
+
+        from dissc_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=args.data_devices, n_model=1,
+                           devices=jax.devices()[: args.data_devices])
     infer_file(
         input_path=args.input_path,
         out_path=args.out_path,
@@ -67,6 +79,7 @@ def main(argv=None):
         n_tokens=args.n_tokens,
         wild=args.wild_sample,
         sample_df=args.sample_df,
+        mesh=mesh,
     )
 
 

@@ -277,6 +277,7 @@ def infer_file(
     n_tokens: int = 100,
     wild: bool = False,
     sample_df: Optional[str] = None,
+    mesh=None,
 ) -> None:
     """File-level driver matching the reference CLI behaviour
     (``infer.py:47-155``): writes a reconstruction JSONL and/or
@@ -297,6 +298,7 @@ def infer_file(
         id2pitch_mean=id2mean,
         id2pitch_std=id2std,
         n_tokens=n_tokens,
+        mesh=mesh,
     )
 
     records = list(iter_unit_records(input_path))
